@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The CI/bench environment pre-sets JAX_PLATFORMS=axon (TPU tunnel); tests must
+run on a virtual 8-device CPU mesh instead, so multi-chip sharding is
+exercised without TPU hardware. Env vars alone don't reliably beat the
+pre-registered plugin, so we also set jax.config before any backend is
+initialised (pytest imports conftest before test modules).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+existing = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in existing:
+    os.environ["XLA_FLAGS"] = (existing + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
