@@ -1,0 +1,382 @@
+"""Native JAX SMPL body model: shape/pose blendshapes + linear blend skinning.
+
+Replaces the reference's dependency on the `smplx` package
+(reference: models/smpl_official.py:1-41, which wraps smplx.SMPL and appends
+three extra joint regressors). Everything here is pure jnp, batched over
+arbitrary leading dims, and jit/vmap/pjit safe — so thousands of (batch x
+sample) SMPL evaluations run as a single fused XLA program on TPU (the
+blendshape and skinning contractions are large MXU matmuls).
+
+Output joints layout matches the reference exactly (B, 90, 3):
+  [0:24]   SMPL kinematic joints (posed)
+  [24:45]  21 surface landmark joints (face 5 + feet 6 + hand tips 10,
+           same vertex ids and order as smplx's VertexJointSelector)
+  [45:54]  J_regressor_extra (9)
+  [54:73]  cocoplus regressor (19)
+  [73:90]  H36M regressor (17)
+"""
+
+import os
+import pickle
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hierarchicalprobabilistic3dhuman_tpu.configs import paths
+from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import so3_exp
+
+NUM_VERTS = 6890
+NUM_JOINTS = 24  # kinematic joints (1 root + 23 body)
+NUM_BODY_JOINTS = 23
+
+# SMPL kinematic tree: parent of joint i (root = -1).
+SMPL_PARENTS = np.array([-1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8,
+                         9, 9, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21], dtype=np.int32)
+
+# Surface landmark vertex ids, in smplx VertexJointSelector order:
+# face (nose, reye, leye, rear, lear), feet (LBigToe, LSmallToe, LHeel,
+# RBigToe, RSmallToe, RHeel), hand tips (l thumb/index/middle/ring/pinky,
+# then r thumb/index/middle/ring/pinky).
+EXTRA_LANDMARK_VERTEX_IDS = np.array([
+    332, 6260, 2800, 4071, 583,
+    3216, 3226, 3387, 6617, 6624, 6787,
+    2746, 2319, 2445, 2556, 2673,
+    6191, 5782, 5905, 6016, 6133,
+], dtype=np.int32)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SMPLParams:
+    """Immutable SMPL model parameters (a pytree of jnp arrays)."""
+    v_template: jnp.ndarray      # (V, 3)
+    shapedirs: jnp.ndarray       # (V, 3, num_betas)
+    posedirs: jnp.ndarray        # (23*9, V*3) pose-corrective basis, pre-flattened
+    J_regressor: jnp.ndarray     # (24, V)
+    lbs_weights: jnp.ndarray     # (V, 24)
+    faces: jnp.ndarray           # (F, 3) int32
+    J_regressor_extra: jnp.ndarray     # (9, V)
+    J_regressor_cocoplus: jnp.ndarray  # (19, V)
+    J_regressor_h36m: jnp.ndarray      # (17, V)
+
+    def tree_flatten(self):
+        children = (self.v_template, self.shapedirs, self.posedirs,
+                    self.J_regressor, self.lbs_weights, self.faces,
+                    self.J_regressor_extra, self.J_regressor_cocoplus,
+                    self.J_regressor_h36m)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _as_dense(x):
+    """Handle scipy sparse matrices and chumpy-wrapped arrays from SMPL pkls."""
+    if hasattr(x, "toarray"):
+        return np.asarray(x.toarray())
+    if hasattr(x, "x") and not isinstance(x, np.ndarray):  # chumpy Ch object
+        return np.asarray(x.x)
+    return np.asarray(x)
+
+
+class _ChumpyStub:
+    """Stand-in for chumpy objects during unpickling (chumpy is not installed)."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state if isinstance(state, dict) else {"x": state})
+
+
+class _SMPLUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyStub
+        return super().find_class(module, name)
+
+
+def load_smpl_pkl(pkl_path):
+    """Load an official SMPL .pkl (chumpy-free) into a dict of numpy arrays."""
+    with open(pkl_path, "rb") as f:
+        data = _SMPLUnpickler(f, encoding="latin1").load()
+    return data
+
+
+def _load_extra_regressors():
+    jre = np.load(paths.J_REGRESSOR_EXTRA).astype(np.float32)
+    jrc = np.load(paths.COCOPLUS_REGRESSOR).astype(np.float32)
+    jrh = np.load(paths.H36M_REGRESSOR).astype(np.float32)
+    return jre, jrc, jrh
+
+
+def smpl_params_from_native(data, num_betas=10, dtype=jnp.float32):
+    """Build SMPLParams from a dict with native SMPL fields (pkl or npz)."""
+    v_template = _as_dense(data["v_template"]).astype(np.float32)
+    shapedirs = _as_dense(data["shapedirs"]).astype(np.float32)[:, :, :num_betas]
+    posedirs = _as_dense(data["posedirs"]).astype(np.float32)  # (V, 3, 207)
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T      # (207, V*3)
+    J_regressor = _as_dense(data["J_regressor"]).astype(np.float32)
+    lbs_weights = _as_dense(data["weights"]).astype(np.float32)
+    faces = _as_dense(data["f"]).astype(np.int32)
+    jre, jrc, jrh = _load_extra_regressors()
+    return SMPLParams(
+        v_template=jnp.asarray(v_template, dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype),
+        posedirs=jnp.asarray(posedirs, dtype),
+        J_regressor=jnp.asarray(J_regressor, dtype),
+        lbs_weights=jnp.asarray(lbs_weights, dtype),
+        faces=jnp.asarray(faces),
+        J_regressor_extra=jnp.asarray(jre, dtype),
+        J_regressor_cocoplus=jnp.asarray(jrc, dtype),
+        J_regressor_h36m=jnp.asarray(jrh, dtype),
+    )
+
+
+def convert_smpl_pkl_to_npz(pkl_path, npz_path, num_betas=10):
+    """One-off converter: official SMPL pkl -> npz of plain numpy arrays."""
+    data = load_smpl_pkl(pkl_path)
+    np.savez(
+        npz_path,
+        v_template=_as_dense(data["v_template"]).astype(np.float32),
+        shapedirs=np.asarray(_as_dense(data["shapedirs"]), np.float32)[:, :, :num_betas],
+        posedirs=_as_dense(data["posedirs"]).astype(np.float32),
+        J_regressor=_as_dense(data["J_regressor"]).astype(np.float32),
+        weights=_as_dense(data["weights"]).astype(np.float32),
+        f=_as_dense(data["f"]).astype(np.int32),
+        kintree_table=_as_dense(data["kintree_table"]).astype(np.int64),
+    )
+
+
+def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
+    """Structurally-correct random SMPL parameters for tests/benchmarks.
+
+    The official SMPL pkl files are licensed and not shipped (reference
+    README.md:52-64); this generator produces a model with the real topology
+    sizes, a plausible body-shaped template, normalised regressors, and
+    locality-biased skinning weights, so every downstream computation
+    (blendshapes, kinematics, skinning, rendering) is exercised realistically.
+    """
+    rng = np.random.RandomState(seed)
+
+    # Template: a vertically-elongated ellipsoid point cloud (human-ish bbox
+    # ~1.7m tall), deterministic.
+    u = rng.uniform(0, 2 * np.pi, NUM_VERTS)
+    v = rng.uniform(-1, 1, NUM_VERTS)
+    r = 0.25 + 0.05 * rng.randn(NUM_VERTS)
+    v_template = np.stack([
+        r * np.sqrt(1 - v ** 2) * np.cos(u),
+        0.85 * v,
+        r * np.sqrt(1 - v ** 2) * np.sin(u),
+    ], axis=-1).astype(np.float32)
+
+    shapedirs = (rng.randn(NUM_VERTS, 3, num_betas) * 0.01).astype(np.float32)
+    posedirs_native = (rng.randn(NUM_VERTS, 3, 207) * 0.001).astype(np.float32)
+
+    # Joints spread along the vertical axis, roots near origin.
+    joint_centres = np.zeros((NUM_JOINTS, 3), dtype=np.float32)
+    joint_centres[:, 1] = np.linspace(-0.8, 0.8, NUM_JOINTS)
+    joint_centres[:, 0] = 0.1 * rng.randn(NUM_JOINTS)
+
+    # J_regressor: soft-assign each joint to its nearest vertices.
+    d2 = ((v_template[None, :, :] - joint_centres[:, None, :]) ** 2).sum(-1)  # (24, V)
+    J_regressor = np.exp(-d2 / 0.005)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+
+    # Skinning weights: softmax over joint proximity (locality-biased).
+    w = np.exp(-d2.T / 0.02)  # (V, 24)
+    lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    faces = rng.randint(0, NUM_VERTS, size=(13776, 3)).astype(np.int32)
+
+    jre, jrc, jrh = _load_extra_regressors()
+    return SMPLParams(
+        v_template=jnp.asarray(v_template, dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype),
+        posedirs=jnp.asarray(posedirs_native.reshape(-1, 207).T, dtype),
+        J_regressor=jnp.asarray(J_regressor.astype(np.float32), dtype),
+        lbs_weights=jnp.asarray(lbs_weights, dtype),
+        faces=jnp.asarray(faces),
+        J_regressor_extra=jnp.asarray(jre, dtype),
+        J_regressor_cocoplus=jnp.asarray(jrc, dtype),
+        J_regressor_h36m=jnp.asarray(jrh, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kinematics + LBS
+# ---------------------------------------------------------------------------
+
+def _rigid_transform(R, t):
+    """Pack (B, J, 3, 3) rotations and (B, J, 3) translations into (B, J, 4, 4)."""
+    B, J = R.shape[:2]
+    top = jnp.concatenate([R, t[..., None]], axis=-1)              # (B, J, 3, 4)
+    bottom = jnp.zeros((B, J, 1, 4), R.dtype).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def _batch_rigid_transform(rot_mats, joints, parents):
+    """World transforms along the kinematic tree.
+
+    :param rot_mats: (B, 24, 3, 3)
+    :param joints: (B, 24, 3) rest-pose joint locations
+    :param parents: static numpy (24,) parent indices
+    :return: posed_joints (B, 24, 3), rel_transforms (B, 24, 4, 4)
+    """
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+    transforms_mat = _rigid_transform(rot_mats, rel_joints)  # (B, 24, 4, 4)
+
+    # Unrolled scan over the (static, depth<=7) kinematic tree.
+    chain = [transforms_mat[:, 0]]
+    for i in range(1, NUM_JOINTS):
+        chain.append(chain[parents[i]] @ transforms_mat[:, i])
+    transforms = jnp.stack(chain, axis=1)  # (B, 24, 4, 4)
+
+    posed_joints = transforms[:, :, :3, 3]
+
+    # Relative transforms: remove rest-pose joint location contribution.
+    joints_hom = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], axis=-1)
+    init_bone = transforms @ joints_hom[..., None]  # (B, 24, 4, 1)
+    rel_transforms = transforms.at[:, :, :3, 3].add(-init_bone[:, :, :3, 0])
+    return posed_joints, rel_transforms
+
+
+def lbs(params: SMPLParams, betas, full_pose_rotmats):
+    """Core SMPL forward: betas + 24 rotation matrices -> vertices, joints.
+
+    :param betas: (B, num_betas)
+    :param full_pose_rotmats: (B, 24, 3, 3) [global_orient, 23 body rotations]
+    :return: vertices (B, 6890, 3), kinematic joints (B, 24, 3)
+    """
+    B = betas.shape[0]
+    # Shape blendshapes: (V, 3, nb) x (B, nb) -> (B, V, 3). MXU matmul.
+    blend = jnp.einsum("vcn,bn->bvc", params.shapedirs, betas)
+    v_shaped = params.v_template[None] + blend
+
+    # Rest joints.
+    J = jnp.einsum("jv,bvc->bjc", params.J_regressor, v_shaped)
+
+    # Pose blendshapes from body rotations (exclude global orient).
+    eye = jnp.eye(3, dtype=v_shaped.dtype)
+    pose_feature = (full_pose_rotmats[:, 1:] - eye).reshape(B, -1)  # (B, 207)
+    pose_offsets = (pose_feature @ params.posedirs).reshape(B, -1, 3)
+    v_posed = v_shaped + pose_offsets
+
+    posed_joints, rel_transforms = _batch_rigid_transform(
+        full_pose_rotmats, J, SMPL_PARENTS)
+
+    # Skinning: per-vertex blended transform. (V, 24) x (B, 24, 16) matmul.
+    T = jnp.einsum("vj,bjpq->bvpq", params.lbs_weights, rel_transforms)
+    v_hom = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    verts = jnp.einsum("bvpq,bvq->bvp", T, v_hom)[..., :3]
+    return verts, posed_joints
+
+
+def vertices2joints(J_regressor, vertices):
+    """(J, V) x (B, V, 3) -> (B, J, 3) (smplx.lbs.vertices2joints equivalent)."""
+    return jnp.einsum("jv,bvc->bjc", J_regressor, vertices)
+
+
+def smpl_forward(params: SMPLParams,
+                 betas=None,
+                 body_pose=None,
+                 global_orient=None,
+                 transl=None,
+                 pose2rot=True,
+                 batch_size=None):
+    """Full SMPL forward with the reference wrapper's 90-joint output.
+
+    Accepts the same calling conventions as the reference's SMPL wrapper
+    (models/smpl_official.py:27-41 + smplx):
+      - pose2rot=True: body_pose (B, 69) and global_orient (B, 3) axis-angle
+      - pose2rot=False: body_pose (B, 23, 3, 3), global_orient (B, 1, 3, 3)
+      - any argument may be None -> neutral (zeros / identity)
+
+    :return: dict with 'vertices' (B, 6890, 3) and 'joints' (B, 90, 3).
+    """
+    if batch_size is None:
+        for arg in (betas, body_pose, global_orient):
+            if arg is not None:
+                batch_size = arg.shape[0]
+                break
+        assert batch_size is not None, "need at least one batched argument"
+    B = batch_size
+    dtype = params.v_template.dtype
+
+    if betas is None:
+        betas = jnp.zeros((B, params.shapedirs.shape[-1]), dtype)
+
+    if pose2rot:
+        if body_pose is None:
+            body_pose = jnp.zeros((B, NUM_BODY_JOINTS * 3), dtype)
+        if global_orient is None:
+            global_orient = jnp.zeros((B, 3), dtype)
+        body_rotmats = so3_exp(body_pose.reshape(B, NUM_BODY_JOINTS, 3))
+        glob_rotmats = so3_exp(global_orient.reshape(B, 1, 3))
+    else:
+        if body_pose is None:
+            body_pose = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                         (B, NUM_BODY_JOINTS, 3, 3))
+        if global_orient is None:
+            global_orient = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 1, 3, 3))
+        body_rotmats = body_pose.reshape(B, NUM_BODY_JOINTS, 3, 3)
+        glob_rotmats = global_orient.reshape(B, 1, 3, 3)
+
+    full_pose = jnp.concatenate([glob_rotmats, body_rotmats], axis=1)
+    verts, kin_joints = lbs(params, betas, full_pose)
+
+    landmark_joints = verts[:, jnp.asarray(EXTRA_LANDMARK_VERTEX_IDS), :]
+    extra = vertices2joints(params.J_regressor_extra, verts)
+    cocoplus = vertices2joints(params.J_regressor_cocoplus, verts)
+    h36m = vertices2joints(params.J_regressor_h36m, verts)
+    joints = jnp.concatenate([kin_joints, landmark_joints, extra, cocoplus, h36m], axis=1)
+
+    if transl is not None:
+        verts = verts + transl[:, None, :]
+        joints = joints + transl[:, None, :]
+
+    return {"vertices": verts, "joints": joints}
+
+
+class SMPL:
+    """Convenience object mirroring the reference wrapper's call surface.
+
+    reference: models/smpl_official.py:13-41. `gender` selects the model file
+    SMPL_{NEUTRAL,MALE,FEMALE}.{npz,pkl} under `model_path`; if no model files
+    exist (licensed, not shipped) pass `params=` explicitly or use
+    `SMPL.synthetic()`.
+    """
+
+    def __init__(self, model_path=None, gender="neutral", num_betas=10, params=None):
+        if params is not None:
+            self.params = params
+        else:
+            model_path = model_path or paths.SMPL
+            base = os.path.join(model_path, f"SMPL_{gender.upper()}")
+            if os.path.exists(base + ".npz"):
+                data = dict(np.load(base + ".npz", allow_pickle=True))
+            elif os.path.exists(base + ".pkl"):
+                data = load_smpl_pkl(base + ".pkl")
+            else:
+                raise FileNotFoundError(
+                    f"No SMPL model file at {base}.(npz|pkl). Official SMPL files are "
+                    f"licensed and must be downloaded separately; for tests use "
+                    f"SMPL.synthetic().")
+            self.params = smpl_params_from_native(data, num_betas=num_betas)
+        self.gender = gender
+
+    @classmethod
+    def synthetic(cls, num_betas=10, seed=0):
+        return cls(params=synthetic_smpl_params(num_betas=num_betas, seed=seed))
+
+    @property
+    def faces(self):
+        return self.params.faces
+
+    def __call__(self, betas=None, body_pose=None, global_orient=None,
+                 transl=None, pose2rot=True, batch_size=None):
+        return smpl_forward(self.params, betas=betas, body_pose=body_pose,
+                            global_orient=global_orient, transl=transl,
+                            pose2rot=pose2rot, batch_size=batch_size)

@@ -1,0 +1,140 @@
+"""Matrix-Fisher distribution over SO(3): log normalising constant + NLL.
+
+TPU-native equivalent of the reference's losses/matrix_fisher_loss.py:10-228.
+The log normalising constant log c(S) is computed from the proper singular
+values via a 1-D trapezoid quadrature of products of exponentially-scaled
+modified Bessel functions (Eqns 85-90 of arXiv:1710.03746), with an exact
+custom VJP using the cyclic-shift derivative integrals — mirroring the
+reference's autograd.Function (:134-192) — instead of differentiating through
+the quadrature.
+
+Everything is vectorised over arbitrary batch shapes and jit-safe; the
+det-sign "proper-ization" uses the closed-form 3x3 determinant (no CPU hop,
+unlike reference :221-222).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import det3x3
+
+# Abramowitz & Stegun 9.8.1/9.8.2 polynomial coefficients for I_0
+# (the standard public-domain approximation, also used by the reference via
+# omlc.org's convnr.c). Listed highest-order first for jnp.polyval.
+_I0_COEFFS_SMALL = jnp.array(
+    [0.45813e-2, 0.360768e-1, 0.2659732, 1.2067492, 3.0899424, 3.5156229, 1.0])
+_I0_COEFFS_LARGE = jnp.array(
+    [0.392377e-2, -0.1647633e-1, 0.2635537e-1, -0.2057706e-1, 0.916281e-2,
+     -0.157565e-2, 0.225319e-2, 0.1328592e-1, 0.39894228])
+
+_NUM_TRAPS = 512
+
+
+def bessel0_exp_scaled(x):
+    """Exponentially-scaled modified Bessel function I_0(x) / exp(|x|).
+
+    Branch at |x| = 3.75 as in A&S; both branches are computed and selected
+    with `where` (branch-free, TPU-friendly). Inputs are sanitised so the
+    untaken branch cannot produce inf/nan.
+    """
+    abs_x = jnp.abs(x)
+    small = abs_x <= 3.75
+    t_small = (abs_x / 3.75) ** 2
+    val_small = jnp.polyval(_I0_COEFFS_SMALL, t_small) / jnp.exp(abs_x)
+    abs_x_safe = jnp.where(small, 3.75, abs_x)
+    val_large = jnp.polyval(_I0_COEFFS_LARGE, 3.75 / abs_x_safe) / jnp.sqrt(abs_x_safe)
+    return jnp.where(small, val_small, val_large)
+
+
+def _trapezoid_u_grid(dtype):
+    u = jnp.linspace(-1.0, 1.0, _NUM_TRAPS, dtype=dtype)  # (T,)
+    w = jnp.ones((_NUM_TRAPS,), dtype).at[0].set(0.5).at[-1].set(0.5)
+    dx = 2.0 / (_NUM_TRAPS - 1)
+    return u, w * dx
+
+
+def _cbar_integrand(u, s):
+    """Integrand of the exp-scaled normalising constant c_bar(S).
+
+    :param u: (T,) quadrature nodes
+    :param s: (..., 3) proper singular values sorted big to small
+    :return: (..., T)
+    """
+    s0 = s[..., 0:1]
+    s1 = s[..., 1:2]
+    s2 = s[..., 2:3]
+    f1 = bessel0_exp_scaled((s1 - s2) * 0.5 * (1.0 - u))
+    f2 = bessel0_exp_scaled((s1 + s2) * 0.5 * (1.0 + u))
+    f3 = jnp.exp((s2 + s0) * (u - 1.0))
+    return f1 * f2 * f3
+
+
+def _dcbar_integrand(u, s_shifted):
+    """Integrand of dc_bar/ds_k + c_bar for cyclically-shifted s (s_k first).
+
+    reference: losses/matrix_fisher_loss.py:99-131 (the extra factor u, not
+    u - 1, because the integrand includes the +c_bar term).
+    """
+    s_k = s_shifted[..., 0:1]
+    s_i = jnp.maximum(s_shifted[..., 1:2], s_shifted[..., 2:3])
+    s_j = jnp.minimum(s_shifted[..., 1:2], s_shifted[..., 2:3])
+    f1 = bessel0_exp_scaled((s_i - s_j) * 0.5 * (1.0 - u))
+    f2 = bessel0_exp_scaled((s_i + s_j) * 0.5 * (1.0 + u))
+    f3 = jnp.exp((s_j + s_k) * (u - 1.0))
+    return f1 * f2 * f3 * u
+
+
+def _cbar(S):
+    u, w = _trapezoid_u_grid(S.dtype)
+    return 0.5 * jnp.sum(_cbar_integrand(u, S) * w, axis=-1)  # (...,)
+
+
+@jax.custom_vjp
+def log_mf_norm_constant(S_proper):
+    """log c(S) = log c_bar(S) + tr(S) for proper singular values (..., 3).
+
+    S must be ordered s0 >= s1 >= |s2| (the proper-SVD convention).
+    """
+    c_bar = _cbar(S_proper)
+    return jnp.log(c_bar) + jnp.sum(S_proper, axis=-1)
+
+
+def _log_mf_fwd(S_proper):
+    c_bar = _cbar(S_proper)
+    log_c = jnp.log(c_bar) + jnp.sum(S_proper, axis=-1)
+    return log_c, (S_proper, c_bar)
+
+
+def _log_mf_bwd(residuals, grad_log_c):
+    S, c_bar = residuals
+    u, w = _trapezoid_u_grid(S.dtype)
+    grads = []
+    for k in range(3):
+        S_shifted = jnp.concatenate([S[..., k:], S[..., :k]], axis=-1)
+        integral = 0.5 * jnp.sum(_dcbar_integrand(u, S_shifted) * w, axis=-1)
+        grads.append(integral / c_bar)
+    dlogc_dS = jnp.stack(grads, axis=-1)  # (..., 3)
+    return (dlogc_dS * grad_log_c[..., None],)
+
+
+log_mf_norm_constant.defvjp(_log_mf_fwd, _log_mf_bwd)
+
+
+def matrix_fisher_nll(pred_F, pred_U, pred_S, pred_V, target_R, overreg=1.025):
+    """NLL of target rotations under MF(F): -tr(F^T R) + overreg * log c(S_proper).
+
+    reference: losses/matrix_fisher_loss.py:195-228. The det-sign fix runs
+    on-device in closed form; the sign is piecewise constant so it carries no
+    gradient (stop_gradient), matching the reference's no_grad block.
+
+    :param pred_F: (..., 3, 3); pred_U/S/V: its SVD
+    :param target_R: (..., 3, 3)
+    :return: (...,) NLL per batch element
+    """
+    s3sign = jax.lax.stop_gradient(det3x3(pred_U @ jnp.swapaxes(pred_V, -1, -2)))
+    S_proper = pred_S.at[..., 2].multiply(s3sign)
+    log_norm = log_mf_norm_constant(S_proper)
+    log_exponent = -jnp.sum(pred_F * target_R, axis=(-1, -2))
+    return log_exponent + overreg * log_norm
