@@ -1,0 +1,167 @@
+"""Hierarchical kinematic matrix-Fisher pose + Gaussian shape predictor.
+
+The paper's core model (reference: models/poseMF_shapeGaussian_net.py:24-162),
+rebuilt as a flax module:
+
+  * ResNet-18/50 encoder over the 18-channel proxy representation;
+  * shape head -> diagonal Gaussian (mean, log std) over SMPL betas;
+  * glob/cam heads predict DELTAS against registered initial estimates
+    (identity rot6d, [0.9, 0, 0] weak-perspective cam);
+  * hierarchical pose head: one 2-layer MLP per body joint, consuming the
+    embedding plus ALL ancestors' (U_proper, S_proper, mode rotation) — a
+    statically-unrolled scan over the kinematic tree (depth <= 7);
+  * per-joint 3x3 SVD via the batched Jacobi kernel (ops.svd3) — on-device,
+    no CPU round-trips (the reference hops GPU->CPU->GPU per joint :137-141).
+
+Note on SVD sign conventions: U/V column signs are implementation-defined
+(LAPACK vs Jacobi). Within this framework they are deterministic and
+self-consistent (training and inference see the same function). Converted
+torch checkpoints reproduce the first kinematic level exactly; deeper levels
+can differ where the torch run's LAPACK sign choices differed — re-finetuning
+restores exact parity.
+"""
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from hierarchicalprobabilistic3dhuman_tpu.models.resnet import resnet18, resnet50
+from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL_PARENTS
+from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import proper_svd3x3
+
+
+def immediate_parents_to_all_parents(immediate_parents):
+    """Per-body-joint ancestor lists (reference :14-21).
+
+    :param immediate_parents: length-24 parents incl. root (root = -1)
+    :return: dict body-joint index (0..22) -> list of ancestor body-joint indices
+    """
+    parents_dict = {}
+    for i in range(1, len(immediate_parents)):
+        joint = i - 1
+        immediate_parent = immediate_parents[i] - 1
+        if immediate_parent >= 0:
+            parents_dict[joint] = [immediate_parent] + parents_dict.get(immediate_parent, [])
+        else:
+            parents_dict[joint] = []
+    return parents_dict
+
+
+# rot6d of the identity rotation in the framework's row-interleaved layout.
+_INIT_GLOB = np.array([1.0, 0.0, 0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+_INIT_CAM = np.array([0.9, 0.0, 0.0], dtype=np.float32)
+
+
+class PoseMFShapeGaussianNet(nn.Module):
+    """Input (B, C, D, D) proxy representation -> distribution parameters."""
+    smpl_parents: Sequence[int] = tuple(int(p) for p in SMPL_PARENTS)
+    num_in_channels: int = 18
+    num_resnet_layers: int = 18
+    embed_dim: int = 256
+    delta_i: bool = True
+    delta_i_weight: float = 1.0
+    num_smpl_betas: int = 10
+    svd_sweeps: int = 8
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False, input_feats=None):
+        parents_dict = immediate_parents_to_all_parents(list(self.smpl_parents))
+        num_joints = len(parents_dict)
+
+        if self.num_resnet_layers == 18:
+            encoder = resnet18(in_channels=self.num_in_channels)
+            fc1_dim = 512
+        elif self.num_resnet_layers == 50:
+            encoder = resnet50(in_channels=self.num_in_channels)
+            fc1_dim = 1024
+        else:
+            raise ValueError(f"Unsupported resnet depth {self.num_resnet_layers}")
+
+        if input_feats is None:
+            input_feats = encoder(inputs, train=train)
+        B = input_feats.shape[0]
+
+        x = nn.elu(nn.Dense(fc1_dim, name="fc1")(input_feats))
+
+        shape_params = nn.Dense(self.num_smpl_betas * 2, name="fc_shape")(x)
+        shape_mean = shape_params[:, :self.num_smpl_betas]
+        shape_log_std = shape_params[:, self.num_smpl_betas:]
+
+        delta_cam = nn.Dense(3, name="fc_cam")(x)
+        delta_glob = nn.Dense(6, name="fc_glob")(x)
+        glob = delta_glob + jnp.asarray(_INIT_GLOB)
+        cam = delta_cam + jnp.asarray(_INIT_CAM)
+
+        embed = nn.elu(nn.Dense(self.embed_dim, name="fc_embed")(
+            jnp.concatenate([input_feats, shape_params, glob, cam], axis=1)))
+
+        eye = jnp.eye(3, dtype=embed.dtype)
+        F_list, U_list, S_list, V_list = [], [], [], []
+        Up_list, Sp_list, mode_list = [], [], []
+        for joint in range(num_joints):
+            parents = parents_dict[joint]
+            if parents:
+                anc_Up = jnp.concatenate([Up_list[p].reshape(B, 9) for p in parents], axis=1)
+                anc_Sp = jnp.concatenate([Sp_list[p] for p in parents], axis=1)
+                anc_mode = jnp.concatenate([mode_list[p].reshape(B, 9) for p in parents], axis=1)
+                mlp_in = jnp.concatenate([embed, anc_Up, anc_Sp, anc_mode], axis=1)
+            else:
+                mlp_in = embed
+
+            h = nn.elu(nn.Dense(self.embed_dim // 2, name=f"fc_pose_{joint}_0")(mlp_in))
+            joint_F = nn.Dense(9, name=f"fc_pose_{joint}_1")(h).reshape(B, 3, 3)
+            if self.delta_i:
+                joint_F = joint_F + self.delta_i_weight * eye
+
+            svd = proper_svd3x3(joint_F, n_sweeps=self.svd_sweeps)
+            F_list.append(joint_F)
+            U_list.append(svd["U"])
+            S_list.append(svd["S"])
+            V_list.append(svd["V"])
+            Up_list.append(svd["U_proper"])
+            Sp_list.append(svd["S_proper"])
+            mode_list.append(svd["mode"])
+
+        out = {
+            "pose_params_F": jnp.stack(F_list, axis=1),
+            "pose_params_U": jnp.stack(U_list, axis=1),
+            "pose_params_S": jnp.stack(S_list, axis=1),
+            "pose_params_V": jnp.stack(V_list, axis=1),
+            "pose_params_U_proper": jnp.stack(Up_list, axis=1),
+            "pose_params_S_proper": jnp.stack(Sp_list, axis=1),
+            "pose_rotmats_mode": jnp.stack(mode_list, axis=1),
+            "shape_mean": shape_mean,
+            "shape_log_std": shape_log_std,
+            "glob": glob,
+            "cam": cam,
+        }
+        return out
+
+
+def torch_to_flax_predictor(state_dict, num_joints=23, resnet_layers=(2, 2, 2, 2)):
+    """Convert a reference predictor state_dict (numpy arrays) to flax params.
+
+    Layout mapping: image_encoder.* via torch_to_flax_resnet; Dense layers
+    transpose (out, in) -> (in, out); per-joint Sequential fc_pose.{j}.{0,2}
+    -> fc_pose_{j}_{0,1}.
+    """
+    from hierarchicalprobabilistic3dhuman_tpu.models.resnet import torch_to_flax_resnet
+
+    enc_sd = {k[len("image_encoder."):]: v for k, v in state_dict.items()
+              if k.startswith("image_encoder.")}
+    enc = torch_to_flax_resnet(enc_sd, layers=resnet_layers)
+
+    def dense(prefix):
+        return {"kernel": np.asarray(state_dict[prefix + ".weight"]).T,
+                "bias": np.asarray(state_dict[prefix + ".bias"])}
+
+    params = {"ResNet_0": enc["params"]}
+    batch_stats = {"ResNet_0": enc["batch_stats"]}
+    for name in ["fc1", "fc_shape", "fc_cam", "fc_glob", "fc_embed"]:
+        params[name] = dense(name)
+    for j in range(num_joints):
+        params[f"fc_pose_{j}_0"] = dense(f"fc_pose.{j}.0")
+        params[f"fc_pose_{j}_1"] = dense(f"fc_pose.{j}.2")
+    return {"params": params, "batch_stats": batch_stats}
