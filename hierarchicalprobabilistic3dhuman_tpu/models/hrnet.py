@@ -1,0 +1,289 @@
+"""HRNet-W48 2D-pose network, flax.linen, NHWC compute layout.
+
+Architecture mirrors the reference's torch implementation
+(models/pose2D_hrnet.py:275-460, itself MSRA's deep-high-resolution-net):
+stem (2x stride-2 3x3 convs) -> layer1 (4 Bottlenecks, 256 ch) ->
+transitions + 3 multi-resolution stages with BASIC blocks at channel widths
+[48, 96, 192, 384] and SUM-fused exchange units -> final 1x1 conv to 17 joint
+heatmaps. Input 384(h)x288(w), heatmaps 96x72. Inference-only (like the
+reference, which loads weights with strict=False and never trains it).
+
+A torch->flax converter (torch_to_flax_hrnet) maps the published .pth
+checkpoints; names below are chosen to make that mapping mechanical.
+"""
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# Stage topology for HRNet-W48 (configs/pose2d_hrnet_config.py).
+STAGE2 = {"num_modules": 1, "num_branches": 2, "num_blocks": 4, "channels": (48, 96)}
+STAGE3 = {"num_modules": 4, "num_branches": 3, "num_blocks": 4, "channels": (48, 96, 192)}
+STAGE4 = {"num_modules": 3, "num_branches": 4, "num_blocks": 4, "channels": (48, 96, 192, 384)}
+
+
+def _bn(name, train):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+        y = _bn("bn1", train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv2")(y)
+        y = _bn("bn2", train)(y)
+        if self.downsample:
+            residual = nn.Conv(self.features, (1, 1), strides=(self.strides,) * 2,
+                               use_bias=False, name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.relu(_bn("bn1", train)(y))
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+        y = nn.relu(_bn("bn2", train)(y))
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = _bn("bn3", train)(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1), strides=(self.strides,) * 2,
+                               use_bias=False, name="downsample_conv")(x)
+            residual = _bn("downsample_bn", train)(residual)
+        return nn.relu(y + residual)
+
+
+def _upsample_nearest(x, factor):
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, H * factor, W * factor, C), method="nearest")
+
+
+class HighResolutionModule(nn.Module):
+    """One exchange unit: per-branch BASIC blocks + SUM fusion across scales."""
+    num_branches: int
+    num_blocks: int
+    channels: Sequence[int]
+    multi_scale_output: bool = True
+
+    @nn.compact
+    def __call__(self, xs, train=False):
+        # Branches
+        ys = []
+        for b in range(self.num_branches):
+            y = xs[b]
+            for k in range(self.num_blocks):
+                y = BasicBlock(self.channels[b], name=f"branch{b}_block{k}")(y, train)
+            ys.append(y)
+
+        if self.num_branches == 1:
+            return ys
+
+        # Fuse layers (reference :188-244): j > i upsample path, j < i strided path.
+        n_out = self.num_branches if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            acc = None
+            for j in range(self.num_branches):
+                if j == i:
+                    v = ys[j]
+                elif j > i:
+                    v = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                                name=f"fuse{i}_{j}_conv")(ys[j])
+                    v = _bn(f"fuse{i}_{j}_bn", train)(v)
+                    v = _upsample_nearest(v, 2 ** (j - i))
+                else:
+                    v = ys[j]
+                    for k in range(i - j):
+                        out_ch = self.channels[i] if k == i - j - 1 else self.channels[j]
+                        v = nn.Conv(out_ch, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)), use_bias=False,
+                                    name=f"fuse{i}_{j}_conv{k}")(v)
+                        v = _bn(f"fuse{i}_{j}_bn{k}", train)(v)
+                        if k != i - j - 1:
+                            v = nn.relu(v)
+                acc = v if acc is None else acc + v
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class PoseHighResolutionNet(nn.Module):
+    """Input (B, 3, H, W) NCHW like the reference; output (B, 17, H/4, W/4)."""
+    num_joints: int = 17
+
+    @nn.compact
+    def __call__(self, x, train=False, input_layout="NCHW"):
+        if input_layout == "NCHW":
+            x = jnp.transpose(x, (0, 2, 3, 1))
+
+        # Stem
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv1")(x)
+        x = nn.relu(_bn("bn1", train)(x))
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv2")(x)
+        x = nn.relu(_bn("bn2", train)(x))
+
+        # layer1: 4 Bottlenecks at 64 (out 256)
+        for k in range(4):
+            x = Bottleneck(64, downsample=(k == 0), name=f"layer1_{k}")(x, train)
+
+        # transition1: 256 -> [48, 96] (both have convs; branch 1 is strided)
+        x0 = nn.Conv(48, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                     name="transition1_0_conv")(x)
+        x0 = nn.relu(_bn("transition1_0_bn", train)(x0))
+        x1 = nn.Conv(96, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                     use_bias=False, name="transition1_1_conv")(x)
+        x1 = nn.relu(_bn("transition1_1_bn", train)(x1))
+        xs = [x0, x1]
+
+        for m in range(STAGE2["num_modules"]):
+            xs = HighResolutionModule(2, 4, STAGE2["channels"],
+                                      name=f"stage2_{m}")(xs, train)
+
+        # transition2: add 192 branch from the last existing branch
+        x2 = nn.Conv(192, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                     use_bias=False, name="transition2_2_conv")(xs[-1])
+        x2 = nn.relu(_bn("transition2_2_bn", train)(x2))
+        xs = [xs[0], xs[1], x2]
+
+        for m in range(STAGE3["num_modules"]):
+            xs = HighResolutionModule(3, 4, STAGE3["channels"],
+                                      name=f"stage3_{m}")(xs, train)
+
+        # transition3: add 384 branch
+        x3 = nn.Conv(384, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                     use_bias=False, name="transition3_3_conv")(xs[-1])
+        x3 = nn.relu(_bn("transition3_3_bn", train)(x3))
+        xs = [xs[0], xs[1], xs[2], x3]
+
+        for m in range(STAGE4["num_modules"]):
+            last = m == STAGE4["num_modules"] - 1
+            xs = HighResolutionModule(4, 4, STAGE4["channels"],
+                                      multi_scale_output=not last,
+                                      name=f"stage4_{m}")(xs, train)
+
+        out = nn.Conv(self.num_joints, (1, 1), name="final_layer")(xs[0])
+        return jnp.transpose(out, (0, 3, 1, 2))  # back to NCHW heatmaps
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion for published HRNet-W48 .pth checkpoints
+# ---------------------------------------------------------------------------
+
+def torch_to_flax_hrnet(state_dict):
+    """Map the reference HRNet state_dict (numpy arrays) to flax variables."""
+    params, stats = {}, {}
+
+    def conv_w(key):
+        return np.transpose(np.asarray(state_dict[key]), (2, 3, 1, 0))
+
+    def put_conv(fname, tkey, bias=False):
+        p = {"kernel": conv_w(tkey + ".weight")}
+        if bias:
+            p["bias"] = np.asarray(state_dict[tkey + ".bias"])
+        params[fname] = p
+
+    def put_bn(fname, tkey):
+        params[fname] = {"scale": np.asarray(state_dict[tkey + ".weight"]),
+                         "bias": np.asarray(state_dict[tkey + ".bias"])}
+        stats[fname] = {"mean": np.asarray(state_dict[tkey + ".running_mean"]),
+                        "var": np.asarray(state_dict[tkey + ".running_var"])}
+
+    def put_block(fdict_name, tprefix, n_convs):
+        bp, bs = {}, {}
+        for c in range(1, n_convs + 1):
+            bp[f"conv{c}"] = {"kernel": conv_w(f"{tprefix}.conv{c}.weight")}
+            bp[f"bn{c}"] = {"scale": np.asarray(state_dict[f"{tprefix}.bn{c}.weight"]),
+                            "bias": np.asarray(state_dict[f"{tprefix}.bn{c}.bias"])}
+            bs[f"bn{c}"] = {"mean": np.asarray(state_dict[f"{tprefix}.bn{c}.running_mean"]),
+                            "var": np.asarray(state_dict[f"{tprefix}.bn{c}.running_var"])}
+        if f"{tprefix}.downsample.0.weight" in state_dict:
+            bp["downsample_conv"] = {"kernel": conv_w(f"{tprefix}.downsample.0.weight")}
+            bp["downsample_bn"] = {"scale": np.asarray(state_dict[f"{tprefix}.downsample.1.weight"]),
+                                   "bias": np.asarray(state_dict[f"{tprefix}.downsample.1.bias"])}
+            bs["downsample_bn"] = {"mean": np.asarray(state_dict[f"{tprefix}.downsample.1.running_mean"]),
+                                   "var": np.asarray(state_dict[f"{tprefix}.downsample.1.running_var"])}
+        params[fdict_name] = bp
+        stats[fdict_name] = bs
+
+    put_conv("conv1", "conv1"); put_bn("bn1", "bn1")
+    put_conv("conv2", "conv2"); put_bn("bn2", "bn2")
+    for k in range(4):
+        put_block(f"layer1_{k}", f"layer1.{k}", 3)
+
+    put_conv("transition1_0_conv", "transition1.0.0")
+    put_bn("transition1_0_bn", "transition1.0.1")
+    put_conv("transition1_1_conv", "transition1.1.0.0")
+    put_bn("transition1_1_bn", "transition1.1.0.1")
+
+    def put_stage(stage_idx, spec):
+        for m in range(spec["num_modules"]):
+            mp, ms = {}, {}
+            for b in range(spec["num_branches"]):
+                for k in range(spec["num_blocks"]):
+                    t = f"stage{stage_idx}.{m}.branches.{b}.{k}"
+                    bp, bs = {}, {}
+                    for c in (1, 2):
+                        bp[f"conv{c}"] = {"kernel": conv_w(f"{t}.conv{c}.weight")}
+                        bp[f"bn{c}"] = {"scale": np.asarray(state_dict[f"{t}.bn{c}.weight"]),
+                                        "bias": np.asarray(state_dict[f"{t}.bn{c}.bias"])}
+                        bs[f"bn{c}"] = {"mean": np.asarray(state_dict[f"{t}.bn{c}.running_mean"]),
+                                        "var": np.asarray(state_dict[f"{t}.bn{c}.running_var"])}
+                    mp[f"branch{b}_block{k}"] = bp
+                    ms[f"branch{b}_block{k}"] = bs
+            n_out = spec["num_branches"]
+            last_module = m == spec["num_modules"] - 1
+            if stage_idx == 4 and last_module:
+                n_out = 1
+            for i in range(n_out):
+                for j in range(spec["num_branches"]):
+                    t = f"stage{stage_idx}.{m}.fuse_layers.{i}.{j}"
+                    if j == i:
+                        continue
+                    if j > i:
+                        mp[f"fuse{i}_{j}_conv"] = {"kernel": conv_w(f"{t}.0.weight")}
+                        mp[f"fuse{i}_{j}_bn"] = {"scale": np.asarray(state_dict[f"{t}.1.weight"]),
+                                                 "bias": np.asarray(state_dict[f"{t}.1.bias"])}
+                        ms[f"fuse{i}_{j}_bn"] = {"mean": np.asarray(state_dict[f"{t}.1.running_mean"]),
+                                                 "var": np.asarray(state_dict[f"{t}.1.running_var"])}
+                    else:
+                        for k in range(i - j):
+                            mp[f"fuse{i}_{j}_conv{k}"] = {"kernel": conv_w(f"{t}.{k}.0.weight")}
+                            mp[f"fuse{i}_{j}_bn{k}"] = {"scale": np.asarray(state_dict[f"{t}.{k}.1.weight"]),
+                                                        "bias": np.asarray(state_dict[f"{t}.{k}.1.bias"])}
+                            ms[f"fuse{i}_{j}_bn{k}"] = {"mean": np.asarray(state_dict[f"{t}.{k}.1.running_mean"]),
+                                                        "var": np.asarray(state_dict[f"{t}.{k}.1.running_var"])}
+            params[f"stage{stage_idx}_{m}"] = mp
+            stats[f"stage{stage_idx}_{m}"] = ms
+
+    put_stage(2, STAGE2)
+    put_conv("transition2_2_conv", "transition2.2.0.0")
+    put_bn("transition2_2_bn", "transition2.2.0.1")
+    put_stage(3, STAGE3)
+    put_conv("transition3_3_conv", "transition3.3.0.0")
+    put_bn("transition3_3_bn", "transition3.3.0.1")
+    put_stage(4, STAGE4)
+    put_conv("final_layer", "final_layer", bias=True)
+
+    return {"params": params, "batch_stats": stats}
