@@ -1,0 +1,111 @@
+"""HRNet 2D-pose prediction with a pluggable person-bbox detector.
+
+JAX equivalent of reference predict/predict_hrnet.py:7-116. The reference
+hard-depends on torchvision Mask-RCNN (C++ NMS/roi_align) for person boxes;
+porting a detector is out of scope for parity, so the detector is an
+interface: any callable `image (3, H, W) in [0,1] -> dict(boxes (N, 4) xyxy,
+labels (N,), scores (N,))` works (e.g. a torchvision CPU model wrapped
+host-side, or None to use the whole image — the reference's `--cropped_images`
+demo path).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+    convert_bbox_corners_to_centre_hw, batch_crop_affine)
+from hierarchicalprobabilistic3dhuman_tpu.utils.label_conversions import (
+    convert_heatmaps_to_2Djoints_coordinates)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def get_kp_locations_confs_from_heatmaps(batch_heatmaps):
+    """Argmax keypoints + confidences (reference :7-30).
+
+    :param batch_heatmaps: (B, K, h, w)
+    :return: kps (B, K, 2) [x, y] (0 where conf <= 0), confs (B, K)
+    """
+    B, K, h, w = batch_heatmaps.shape
+    flat = batch_heatmaps.reshape(B, K, -1)
+    max_confs = jnp.max(flat, axis=-1)
+    max_idx = jnp.argmax(flat, axis=-1)
+    x = (max_idx % w).astype(jnp.float32)
+    y = jnp.floor(max_idx.astype(jnp.float32) / float(w))
+    kps = jnp.stack([x, y], axis=-1)
+    return kps * (max_confs > 0.0)[..., None], max_confs
+
+
+def select_centremost_person_box(detections, image_hw, threshold=0.8):
+    """Centre-most high-confidence person box, whole image fallback
+    (reference :49-80). Host-side numpy (detector outputs are host data).
+
+    :param detections: dict with boxes (N, 4) xyxy, labels (N,), scores (N,)
+        or None
+    :return: (centre (2,) [vert, hor], height, width)
+    """
+    H, W = image_hw
+    if detections is not None:
+        boxes = np.asarray(detections["boxes"], np.float32)
+        labels = np.asarray(detections["labels"])
+        scores = np.asarray(detections["scores"], np.float32)
+        person = (labels == 1) & (scores > threshold)
+        boxes = boxes[person]
+        if boxes.shape[0] > 0:
+            corners = boxes[:, [1, 0, 3, 2]]  # -> (vert, hor) ordering
+            centres, heights, widths = (np.asarray(a) for a in
+                                        convert_bbox_corners_to_centre_hw(jnp.asarray(corners)))
+            dists = (centres[:, 0] - H / 2.0) ** 2 + (centres[:, 1] - W / 2.0) ** 2
+            i = int(np.argmin(dists))
+            return centres[i], float(heights[i]), float(widths[i])
+        print("Could not find person bounding box - using entire image!")
+    return np.array([H / 2.0, W / 2.0], np.float32), float(H), float(W)
+
+
+def predict_hrnet(hrnet_apply,
+                  hrnet_config,
+                  image,
+                  object_detect_fn=None,
+                  object_detect_threshold=0.8,
+                  bbox_scale_factor=1.2):
+    """Person bbox -> crop to 384x288 -> HRNet heatmaps -> 2D joints.
+
+    :param hrnet_apply: callable (B, 3, 384, 288) normalised -> (B, 17, 96, 72)
+    :param image: (3, H, W) jnp array, RGB in [0, 1]
+    :param object_detect_fn: callable(image) -> detections dict, or None
+    :return: dict joints2D (17, 2), joints2Dconfs (17,), cropped_image
+        (3, 384, 288), bbox_centre (2,), bbox_height, bbox_width
+    """
+    H, W = image.shape[1:]
+    detections = object_detect_fn(image) if object_detect_fn is not None else None
+    centre, height, width = select_centremost_person_box(
+        detections, (H, W), threshold=object_detect_threshold)
+
+    in_w, in_h = hrnet_config.MODEL.IMAGE_SIZE  # (288, 384)
+    aspect = float(in_h) / float(in_w)
+    if height > width * aspect:
+        width = height / aspect
+    elif height < width * aspect:
+        height = width * aspect
+
+    cropped = batch_crop_affine(
+        (in_w, in_h),
+        rgb=image[None],
+        bbox_centres=jnp.asarray(centre, jnp.float32)[None],
+        bbox_heights=jnp.asarray([height], jnp.float32),
+        bbox_widths=jnp.asarray([width], jnp.float32),
+        orig_scale_factor=bbox_scale_factor)["rgb"][0]  # (3, 384, 288)
+
+    normed = (cropped - jnp.asarray(IMAGENET_MEAN)[:, None, None]) \
+        / jnp.asarray(IMAGENET_STD)[:, None, None]
+    heatmaps = hrnet_apply(normed[None])  # (1, 17, 96, 72)
+    joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
+    joints2D = joints2D * (in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0]))
+
+    return {"joints2D": joints2D[0],
+            "joints2Dconfs": confs[0],
+            "cropped_image": cropped,
+            "bbox_centre": jnp.asarray(centre),
+            "bbox_height": jnp.asarray(height),
+            "bbox_width": jnp.asarray(width)}

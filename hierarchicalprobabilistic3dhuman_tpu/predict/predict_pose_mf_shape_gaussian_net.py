@@ -1,0 +1,304 @@
+"""Inference driver: image folder -> proxy rep -> distribution -> visualisations.
+
+Behavioural equivalent of reference predict/predict_poseMF_shapeGaussian_net.py:19-333,
+restructured TPU-first:
+
+  * all per-image compute (proxy rep, predictor, SMPL, sampling, uncertainty)
+    is one jitted function, compiled once and reused across images;
+  * the reference's 6-7 sequential renderer calls per image become ONE batched
+    render over all views (posed x4 rotations + reposed x2);
+  * host code only does image I/O, colormap lookup and figure assembly.
+"""
+
+import os
+from functools import partial
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import predict_hrnet
+from hierarchicalprobabilistic3dhuman_tpu.renderers import TexturedIUVRenderer
+from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+    batch_crop_affine, batch_uncrop_affine, batch_add_rgb_background)
+from hierarchicalprobabilistic3dhuman_tpu.utils.label_conversions import (
+    convert_2Djoints_to_gaussian_heatmaps_batched)
+from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
+    rot6d_to_rotmat, batch_rodrigues, aa_rotate_translate_points)
+from hierarchicalprobabilistic3dhuman_tpu.utils.sampling_utils import (
+    compute_vertex_uncertainties_by_sampling, joints2D_error_sorted_verts_sampling)
+from hierarchicalprobabilistic3dhuman_tpu.ops.resample import affine_resample
+
+# Joints never removed by the confidence threshold (reference :97-99).
+ALWAYS_VISIBLE_JOINTS = np.array([0, 1, 2, 3, 4, 5, 6, 11, 12])
+
+
+def _jet_colormap(values, vmin=0.0, vmax=0.2):
+    """matplotlib-jet per-vertex colours from uncertainty values (host-side)."""
+    import matplotlib.pyplot as plt
+    norm = plt.Normalize(vmin=vmin, vmax=vmax, clip=True)
+    return plt.cm.jet(norm(np.asarray(values)))[:, :3].astype(np.float32)
+
+
+def build_proxy_representation(cropped_rgb, cropped_joints2D, joints2Dconfs,
+                               edge_detect_model, pose_shape_cfg,
+                               joints2Dvisib_threshold=0.75):
+    """18-channel proxy representation (reference :91-100).
+
+    :param cropped_rgb: (B, 3, D, D)
+    :param cropped_joints2D: (B, 17, 2)
+    :param joints2Dconfs: (B, 17)
+    :return: proxy (B, 18, D, D)
+    """
+    edge_out = edge_detect_model(cropped_rgb)
+    edges = (edge_out["thresholded_thin_edges"] if pose_shape_cfg.DATA.EDGE_NMS
+             else edge_out["thresholded_grad_magnitude"])
+    heatmaps = convert_2Djoints_to_gaussian_heatmaps_batched(
+        cropped_joints2D, pose_shape_cfg.DATA.PROXY_REP_SIZE,
+        std=pose_shape_cfg.DATA.HEATMAP_GAUSSIAN_STD)
+    visib = joints2Dconfs > joints2Dvisib_threshold
+    visib = visib.at[:, jnp.asarray(ALWAYS_VISIBLE_JOINTS)].set(True)
+    heatmaps = heatmaps * visib[:, :, None, None]
+    return jnp.concatenate([edges, heatmaps], axis=1)
+
+
+def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
+                                       pose_shape_cfg,
+                                       smpl_model,
+                                       hrnet_apply,
+                                       hrnet_cfg,
+                                       edge_detect_model,
+                                       image_dir,
+                                       save_dir,
+                                       object_detect_fn=None,
+                                       joints2Dvisib_threshold=0.75,
+                                       visualise_wh=512,
+                                       visualise_uncropped=True,
+                                       visualise_samples=False,
+                                       num_uncertainty_samples=50,
+                                       rng_seed=0):
+    """Run prediction on every .jpg/.png in image_dir; write figures to save_dir.
+
+    :param pose_shape_model_apply: callable proxy (B, 18, D, D) -> predictor
+        output dict (see models.pose_mf_shape_gaussian_net)
+    :param hrnet_apply: callable (B, 3, 384, 288) -> (B, 17, 96, 72)
+    :param edge_detect_model: CannyEdgeDetector instance
+    :param object_detect_fn: optional person detector callable
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    body_vis_renderer = TexturedIUVRenderer(img_wh=visualise_wh,
+                                            projection_type="orthographic",
+                                            render_rgb=True)
+
+    # Jit the renderer once: verts/feats/cams vary, everything else is static.
+    @jax.jit
+    def _render(verts, feats, cam_t, scales, lights):
+        return body_vis_renderer(verts, cam_t=cam_t, orthographic_scale=scales,
+                                 lights_rgb_settings=lights, verts_features=feats)
+
+    # Jit the sampling-based uncertainty path (predictor apply is jitted by caller).
+    @partial(jax.jit, static_argnames=("num_samples", "use_mean_shape"))
+    def _uncertainty(key, U, S, V, mean, std, glob, num_samples, use_mean_shape):
+        return compute_vertex_uncertainties_by_sampling(
+            key, U, S, V, mean, std, glob, num_samples, smpl_model,
+            use_mean_shape=use_mean_shape)
+    lights_rgb_settings = {
+        "location": jnp.broadcast_to(jnp.asarray([0.0, -0.8, -2.0]), (6, 3)),
+        "ambient_color": jnp.full((6, 3), 0.5),
+        "diffuse_color": jnp.full((6, 3), 0.3),
+        "specular_color": jnp.zeros((6, 3)),
+    }
+    fixed_cam_t = jnp.asarray([0.0, -0.2, 2.5])
+    fixed_scale = jnp.asarray([0.95, 0.95])
+    x_axis = jnp.asarray([1.0, 0.0, 0.0])
+    y_axis = jnp.asarray([0.0, 1.0, 0.0])
+    zero_t = jnp.zeros(3)
+
+    key = jax.random.PRNGKey(rng_seed)
+    proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
+
+    fnames = sorted(f for f in os.listdir(image_dir)
+                    if f.endswith((".jpg", ".png")))
+    results = {}
+    for image_fname in fnames:
+        image_bgr = cv2.imread(os.path.join(image_dir, image_fname))
+        orig_image = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
+        image = jnp.asarray(orig_image.transpose(2, 0, 1), jnp.float32) / 255.0
+
+        # ---- proxy representation ----
+        hrnet_output = predict_hrnet(hrnet_apply, hrnet_cfg, image,
+                                     object_detect_fn=object_detect_fn,
+                                     object_detect_threshold=pose_shape_cfg.DATA.BBOX_THRESHOLD,
+                                     bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)
+        in_h = hrnet_output["cropped_image"].shape[1]
+        in_w = hrnet_output["cropped_image"].shape[2]
+        cropped = batch_crop_affine(
+            (proxy_size, proxy_size),
+            joints2D=hrnet_output["joints2D"][None],
+            rgb=hrnet_output["cropped_image"][None],
+            bbox_centres=jnp.asarray([[in_h * 0.5, in_w * 0.5]]),
+            bbox_heights=jnp.asarray([float(in_h)]),
+            bbox_widths=jnp.asarray([float(in_h)]),
+            orig_scale_factor=1.0)
+        proxy = build_proxy_representation(cropped["rgb"], cropped["joints2D"],
+                                           hrnet_output["joints2Dconfs"][None],
+                                           edge_detect_model, pose_shape_cfg,
+                                           joints2Dvisib_threshold)
+
+        # ---- distribution prediction + mode SMPL ----
+        pred = pose_shape_model_apply(proxy)
+        if pred["glob"].shape[-1] == 3:
+            glob_rotmats = batch_rodrigues(pred["glob"])
+        else:
+            glob_rotmats = rot6d_to_rotmat(pred["glob"])
+
+        smpl_mode = smpl_model(body_pose=pred["pose_rotmats_mode"],
+                               global_orient=glob_rotmats[:, None],
+                               betas=pred["shape_mean"], pose2rot=False)
+        verts_mode = aa_rotate_translate_points(smpl_mode["vertices"], x_axis,
+                                                np.pi, zero_t)
+        verts_rot90 = aa_rotate_translate_points(verts_mode, y_axis, -np.pi / 2, zero_t)
+        verts_rot180 = aa_rotate_translate_points(verts_rot90, y_axis, -np.pi / 2, zero_t)
+        verts_rot270 = aa_rotate_translate_points(verts_rot180, y_axis, -np.pi / 2, zero_t)
+
+        reposed = smpl_model(betas=pred["shape_mean"])
+        reposed_verts = aa_rotate_translate_points(reposed["vertices"], x_axis,
+                                                   np.pi, zero_t)
+        reposed_rot90 = aa_rotate_translate_points(reposed_verts, y_axis,
+                                                   -np.pi / 2, zero_t)
+
+        # ---- per-vertex uncertainty via sampling ----
+        key, sub = jax.random.split(key)
+        per_vertex_3Dvar, verts_samples, joints_samples = _uncertainty(
+            sub, pred["pose_params_U"], pred["pose_params_S"],
+            pred["pose_params_V"], pred["shape_mean"],
+            jnp.exp(pred["shape_log_std"]), glob_rotmats,
+            num_uncertainty_samples, True)
+
+        vertex_colours = jnp.asarray(_jet_colormap(per_vertex_3Dvar[0]))[None]
+
+        # ---- batched visualisation render: 6 views in one call ----
+        cam_wp = pred["cam"]
+        pred_scale = jnp.broadcast_to(cam_wp[:, 0:1], (1, 2))
+        pred_cam_t = jnp.concatenate([cam_wp[:, 1:],
+                                      jnp.full((1, 1), 2.5)], axis=-1)
+        all_verts = jnp.concatenate([verts_mode, verts_rot90, verts_rot180,
+                                     verts_rot270, reposed_verts, reposed_rot90], axis=0)
+        grey = jnp.full((1, 6890, 3), 0.7)
+        all_feats = jnp.concatenate([jnp.broadcast_to(vertex_colours, (4, 6890, 3)),
+                                     jnp.broadcast_to(grey, (2, 6890, 3))], axis=0)
+        all_cam_t = jnp.concatenate([pred_cam_t,
+                                     jnp.broadcast_to(fixed_cam_t, (5, 3))], axis=0)
+        all_scales = jnp.concatenate([pred_scale,
+                                      jnp.broadcast_to(fixed_scale, (5, 2))], axis=0)
+        vis = _render(all_verts, all_feats, all_cam_t, all_scales,
+                      lights_rgb_settings)
+        rgb_views = vis["rgb_images"]           # (6, wh, wh, 3)
+        iuv_views = vis["iuv_images"]
+
+        # composite front view over the cropped input
+        scale_aff = jnp.asarray([[[visualise_wh / proxy_size, 0.0, 0.0],
+                                  [0.0, visualise_wh / proxy_size, 0.0]]])
+        cropped_vis = affine_resample(cropped["rgb"], scale_aff,
+                                      (visualise_wh, visualise_wh))
+        front = batch_add_rgb_background(cropped_vis,
+                                         jnp.transpose(rgb_views[0:1], (0, 3, 1, 2)),
+                                         jnp.round(iuv_views[0:1, :, :, 0]))
+
+        # ---- figure assembly (host) ----
+        front_np = np.asarray(front[0]).transpose(1, 2, 0)
+        views_np = np.asarray(rgb_views)
+        cropped_np = np.asarray(cropped_vis[0]).transpose(1, 2, 0)
+        proxy_np = np.asarray(proxy[0].sum(axis=0))
+        proxy_np = np.stack([proxy_np] * 3, axis=-1)
+        proxy_np = cv2.resize(proxy_np, (visualise_wh, visualise_wh))
+        # cv2 >= 5 drawing requires uint8
+        proxy_u8 = np.clip(proxy_np * 255, 0, 255).astype(np.uint8)
+        j2d_np = np.asarray(cropped["joints2D"][0])
+        confs_np = np.asarray(hrnet_output["joints2Dconfs"])
+        for jn in range(j2d_np.shape[0]):
+            hv = j2d_np[jn] * visualise_wh / proxy_size
+            cv2.circle(proxy_u8, (int(hv[0]), int(hv[1])), 3, (255, 0, 0), -1)
+            cv2.putText(proxy_u8, str(jn), (int(hv[0]) + 4, int(hv[1]) + 4),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 0, 0), lineType=2)
+            cv2.putText(proxy_u8, f"{jn} {confs_np[jn]:.2f}", (10, 16 * (jn + 1)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 0, 0), lineType=2)
+        proxy_np = proxy_u8.astype(np.float32) / 255.0
+
+        wh = visualise_wh
+        fig = np.zeros((2 * wh, 4 * wh, 3), np.float32)
+        fig[:wh, :wh] = cropped_np
+        fig[wh:, :wh] = proxy_np
+        fig[:wh, wh:2 * wh] = front_np
+        fig[wh:, wh:2 * wh] = views_np[1]
+        fig[:wh, 2 * wh:3 * wh] = views_np[2]
+        fig[wh:, 2 * wh:3 * wh] = views_np[3]
+        fig[:wh, 3 * wh:] = views_np[4]
+        fig[wh:, 3 * wh:] = views_np[5]
+        vis_save_path = os.path.join(save_dir, image_fname)
+        cv2.imwrite(vis_save_path, fig[:, :, ::-1] * 255)
+
+        if visualise_uncropped:
+            bbox_centres = np.asarray(hrnet_output["bbox_centre"])[None]
+            bbox_whs = float(max(hrnet_output["bbox_height"],
+                                 hrnet_output["bbox_width"])) \
+                * pose_shape_cfg.DATA.BBOX_SCALE_FACTOR
+            uncropped = batch_uncrop_affine(
+                (wh, wh), (orig_image.shape[1], orig_image.shape[0]),
+                jnp.asarray(bbox_centres), jnp.asarray([bbox_whs]),
+                jnp.asarray([bbox_whs]),
+                rgb=jnp.transpose(rgb_views[0:1], (0, 3, 1, 2)),
+                iuv=jnp.transpose(iuv_views[0:1], (0, 3, 1, 2)))
+            unc_rgb = np.asarray(uncropped["rgb"][0]).transpose(1, 2, 0) * 255
+            unc_seg = np.asarray(uncropped["iuv"][0, 0])
+            bg = (unc_seg == 0)[:, :, None]
+            out = unc_rgb * ~bg + orig_image * bg
+            cv2.imwrite(os.path.splitext(vis_save_path)[0] + "_uncrop.png",
+                        out[:, :, ::-1])
+
+        if visualise_samples:
+            num_samples = 8
+            sorted_verts = joints2D_error_sorted_verts_sampling(
+                verts_samples[0], joints_samples[0], proxy[:, 1:], cam_wp)[:num_samples]
+            sorted_verts = aa_rotate_translate_points(sorted_verts, x_axis, np.pi, zero_t)
+            rot90_samples = aa_rotate_translate_points(sorted_verts, y_axis,
+                                                       -np.pi / 2, zero_t)
+            sample_verts = jnp.concatenate([verts_mode, sorted_verts], axis=0)   # (9, ...)
+            sample_verts90 = jnp.concatenate([verts_rot90, rot90_samples], axis=0)
+            n = sample_verts.shape[0]
+            both = jnp.concatenate([sample_verts, sample_verts90], axis=0)       # (18, ...)
+            cam_ts = jnp.concatenate([jnp.broadcast_to(pred_cam_t, (n, 3)),
+                                      jnp.broadcast_to(fixed_cam_t, (n, 3))], axis=0)
+            scales = jnp.concatenate([jnp.broadcast_to(pred_scale, (n, 2)),
+                                      jnp.broadcast_to(fixed_scale, (n, 2))], axis=0)
+            lights2 = {k: jnp.broadcast_to(v[0:1], (2 * n, 3))
+                       for k, v in lights_rgb_settings.items()}
+            sample_vis = _render(both, jnp.broadcast_to(grey, (2 * n, 6890, 3)),
+                                 cam_ts, scales, lights2)
+            srgb = sample_vis["rgb_images"]
+            siuv = sample_vis["iuv_images"]
+            front_samples = batch_add_rgb_background(
+                jnp.broadcast_to(cropped_vis, (n, 3, wh, wh)),
+                jnp.transpose(srgb[:n], (0, 3, 1, 2)),
+                jnp.round(siuv[:n, :, :, 0]))
+            front_samples = np.asarray(front_samples).transpose(0, 2, 3, 1)
+            rot_samples = np.asarray(srgb[n:])
+
+            rows, cols = 3, 6
+            samples_fig = np.zeros((rows * wh, cols * wh, 3), np.float32)
+            for i in range(n):
+                r, c = (2 * i) // cols, (2 * i) % cols
+                samples_fig[r * wh:(r + 1) * wh, c * wh:(c + 1) * wh] = front_samples[i]
+                r, c = (2 * i + 1) // cols, (2 * i + 1) % cols
+                samples_fig[r * wh:(r + 1) * wh, c * wh:(c + 1) * wh] = rot_samples[i]
+            cv2.imwrite(os.path.splitext(vis_save_path)[0] + "_samples.png",
+                        samples_fig[:, :, ::-1] * 255)
+
+        results[image_fname] = {
+            "pose_mode": np.asarray(pred["pose_rotmats_mode"][0]),
+            "shape_mean": np.asarray(pred["shape_mean"][0]),
+            "cam": np.asarray(pred["cam"][0]),
+            "per_vertex_uncertainty": np.asarray(per_vertex_3Dvar[0]),
+        }
+    return results

@@ -184,7 +184,18 @@ class TexturedIUVRenderer:
     # -- shading -----------------------------------------------------------
 
     def _phong(self, texel, normal, world_pos, lights, mask, shininess=64.0):
-        """pytorch3d HardPhongShader-style point-light shading."""
+        """pytorch3d HardPhongShader-style point-light shading.
+
+        Light settings may be unbatched (3,) or per-example (B, 3); per-example
+        values broadcast over the spatial dims.
+        """
+        def expand(v):
+            v = jnp.asarray(v)
+            if v.ndim == 2:  # (B, 3) -> (B, 1, 1, 3)
+                return v[:, None, None, :]
+            return v
+
+        lights = {k: expand(v) for k, v in lights.items()}
         light_loc = jnp.broadcast_to(lights["location"], world_pos.shape)
         l_dir = light_loc - world_pos
         l_dir = l_dir / jnp.maximum(jnp.linalg.norm(l_dir, axis=-1, keepdims=True), 1e-9)

@@ -1,0 +1,119 @@
+"""Evaluation CLI — same public flags as the reference run_evaluate.py:97-115.
+
+python run_evaluate.py --dataset ssp3d [--pose_shape_weights ...] [--batch_size 8]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def run_evaluate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose_shape_cfg_defaults, paths)
+    from hierarchicalprobabilistic3dhuman_tpu.models.pose_mf_shape_gaussian_net import (
+        PoseMFShapeGaussianNet)
+    from hierarchicalprobabilistic3dhuman_tpu.models.canny_edge_detector import CannyEdgeDetector
+    from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL
+    from hierarchicalprobabilistic3dhuman_tpu.data.pw3d_eval_dataset import PW3DEvalDataset
+    from hierarchicalprobabilistic3dhuman_tpu.data.ssp3d_eval_dataset import SSP3DEvalDataset
+    from hierarchicalprobabilistic3dhuman_tpu.evaluate.evaluate_pose_mf_shape_gaussian_net import (
+        evaluate_pose_mf_shape_gaussian_net)
+    from run_predict import _load_predictor_variables
+
+    pose_shape_cfg = get_pose_shape_cfg_defaults()
+    if args.pose_shape_cfg is not None:
+        pose_shape_cfg.merge_from_file(args.pose_shape_cfg)
+
+    # Dataset + metric selection (reference run_evaluate.py:56-70)
+    if args.dataset == "3dpw":
+        metrics = ['PVE', 'PVE-SC', 'PVE-PA', 'PVE-T-SC', 'MPJPE', 'MPJPE-SC',
+                   'MPJPE-PA', 'joints2D-L2E']
+        metrics.extend([metric + '_samples_min' for metric in metrics
+                        if metric != 'joints2D-L2E'])
+        dataset_path = args.dataset_path or paths.PW3D_PATH
+        eval_dataset = PW3DEvalDataset(dataset_path, pose_shape_cfg,
+                                       visible_joints_threshold=0.6)
+    elif args.dataset == "ssp3d":
+        metrics = ['PVE-PA', 'PVE-T-SC', 'silhouette-IOU', 'joints2D-L2E',
+                   'joints2Dsamples-L2E', 'silhouettesamples-IOU']
+        dataset_path = args.dataset_path or paths.SSP3D_PATH
+        eval_dataset = SSP3DEvalDataset(dataset_path, pose_shape_cfg,
+                                        visible_joints_threshold=0.6)
+    else:
+        raise ValueError(f"Unknown dataset {args.dataset}")
+    print(f"\nEvaluating on {args.dataset} with {len(eval_dataset)} examples.")
+
+    # Models
+    edge_detect_model = CannyEdgeDetector(
+        non_max_suppression=pose_shape_cfg.DATA.EDGE_NMS,
+        gaussian_filter_std=pose_shape_cfg.DATA.EDGE_GAUSSIAN_STD,
+        gaussian_filter_size=pose_shape_cfg.DATA.EDGE_GAUSSIAN_SIZE,
+        threshold=pose_shape_cfg.DATA.EDGE_THRESHOLD)
+
+    def load_smpl(gender):
+        try:
+            return SMPL(gender=gender, num_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
+        except FileNotFoundError:
+            print(f"WARNING: SMPL {gender} model files missing; using synthetic.")
+            return SMPL.synthetic(num_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
+
+    smpl_neutral = load_smpl("neutral")
+    smpl_male = load_smpl("male")
+    smpl_female = load_smpl("female")
+
+    pose_shape_model = PoseMFShapeGaussianNet(
+        num_in_channels=pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
+        num_resnet_layers=pose_shape_cfg.MODEL.NUM_RESNET_LAYERS,
+        embed_dim=pose_shape_cfg.MODEL.EMBED_DIM,
+        delta_i=pose_shape_cfg.MODEL.DELTA_I,
+        delta_i_weight=pose_shape_cfg.MODEL.DELTA_I_WEIGHT,
+        num_smpl_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
+    proxy_example = jnp.zeros((1, pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
+                               pose_shape_cfg.DATA.PROXY_REP_SIZE,
+                               pose_shape_cfg.DATA.PROXY_REP_SIZE))
+    variables = _load_predictor_variables(args.pose_shape_weights,
+                                          pose_shape_model, proxy_example)
+    pose_shape_apply = lambda x: pose_shape_model.apply(variables, x)
+
+    save_path = args.save_path or os.path.join("./evaluations", args.dataset)
+    os.makedirs(save_path, exist_ok=True)
+
+    evaluate_pose_mf_shape_gaussian_net(
+        pose_shape_apply=pose_shape_apply,
+        pose_shape_cfg=pose_shape_cfg,
+        smpl_neutral=smpl_neutral,
+        smpl_male=smpl_male,
+        smpl_female=smpl_female,
+        edge_detect_model=edge_detect_model,
+        metrics=metrics,
+        eval_dataset=eval_dataset,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        num_samples_for_metrics=args.num_samples,
+        save_path=save_path,
+        save_per_frame_metrics=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", "-D", type=str, required=True,
+                        choices=["3dpw", "ssp3d"])
+    parser.add_argument("--dataset_path", type=str, default=None,
+                        help="Override configs.paths dataset location.")
+    parser.add_argument("--pose_shape_weights", "-W3D", type=str, default=None)
+    parser.add_argument("--pose_shape_cfg", type=str, default=None)
+    parser.add_argument("--save_path", type=str, default=None)
+    parser.add_argument("--num_samples", "-N", type=int, default=10,
+                        help="Number of samples for sample-based metrics.")
+    parser.add_argument("--batch_size", "-B", type=int, default=1,
+                        help="Eval batch size (the reference is locked to 1; "
+                             "larger is supported and faster).")
+    parser.add_argument("--num_workers", type=int, default=2)
+    args = parser.parse_args()
+
+    run_evaluate(args)
