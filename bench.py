@@ -1,0 +1,101 @@
+"""Benchmark: end-to-end inference throughput with 100 SMPL samples/image.
+
+Measures the flagship pipeline on the available accelerator:
+  18-channel proxy rep (Canny + heatmaps) -> ResNet-18 + hierarchical MF head
+  (incl. 23 on-device SVDs) -> 100 matrix-Fisher pose samples + 100 Gaussian
+  shape samples -> 100 SMPL meshes per image (batched LBS) -> per-vertex
+  uncertainty.
+
+This is the workload the reference runs as a python loop over joints and
+samples with CPU SVD/sampling hops ("inference can be slow due to the
+rejection sampling procedure", reference README.md:79); here it is one jitted
+program. Baseline for vs_baseline: the driver-set north-star of 50 images/s
+(BASELINE.json; the reference publishes no numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.models.pose_mf_shape_gaussian_net import (
+        PoseMFShapeGaussianNet)
+    from hierarchicalprobabilistic3dhuman_tpu.models.canny_edge_detector import (
+        CannyEdgeDetector)
+    from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL
+    from hierarchicalprobabilistic3dhuman_tpu.ops.bingham_sampling import (
+        pose_matrix_fisher_sampling, shape_gaussian_sampling)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.label_conversions import (
+        convert_2Djoints_to_gaussian_heatmaps_batched)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import rot6d_to_rotmat
+
+    B = 16              # images per step
+    NUM_SAMPLES = 100   # SMPL samples per image
+    D = 256
+
+    model = PoseMFShapeGaussianNet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    edge_model = CannyEdgeDetector(threshold=0.0)
+    smpl = SMPL.synthetic()
+
+    def pipeline(key, rgb, joints2d):
+        edges = edge_model(rgb)["thresholded_thin_edges"]
+        heatmaps = convert_2Djoints_to_gaussian_heatmaps_batched(joints2d, D)
+        proxy = jnp.concatenate([edges, heatmaps], axis=1)
+
+        pred = model.apply(variables, proxy)
+        glob_rotmats = rot6d_to_rotmat(pred["glob"])
+
+        key_p, key_s = jax.random.split(key)
+        pose_samples = pose_matrix_fisher_sampling(
+            key_p, pred["pose_params_U"], pred["pose_params_S"],
+            pred["pose_params_V"], NUM_SAMPLES)
+        shape_samples = shape_gaussian_sampling(
+            key_s, pred["shape_mean"], jnp.exp(pred["shape_log_std"]), NUM_SAMPLES)
+
+        out = smpl(body_pose=pose_samples.reshape(B * NUM_SAMPLES, 23, 3, 3),
+                   global_orient=jnp.repeat(glob_rotmats[:, None], NUM_SAMPLES, axis=1)
+                   .reshape(B * NUM_SAMPLES, 1, 3, 3),
+                   betas=shape_samples.reshape(B * NUM_SAMPLES, -1),
+                   pose2rot=False)
+        verts = out["vertices"].reshape(B, NUM_SAMPLES, -1, 3)
+        uncertainty = jnp.linalg.norm(
+            verts - verts.mean(axis=1, keepdims=True), axis=-1).mean(axis=1)
+        return verts.mean(), uncertainty
+
+    step = jax.jit(pipeline)
+
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(B, 3, D, D).astype(np.float32))
+    joints2d = jnp.asarray(rng.randint(20, D - 20, (B, 17, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    # Warm up / compile.
+    jax.block_until_ready(step(key, rgb, joints2d))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(jax.random.fold_in(key, i), rgb, joints2d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = B * n_iters / dt
+    baseline = 50.0  # driver-set north-star (BASELINE.json), images/s @ 100 samples
+    print(json.dumps({
+        "metric": "inference_images_per_sec_100smpl_samples",
+        "value": round(images_per_sec, 2),
+        "unit": "images/s",
+        "vs_baseline": round(images_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -188,7 +188,7 @@ class EvalMetricsTracker:
                     + s["num_samples_false_positives"])
             elif metric_type == "joints2Dsamples-L2E":
                 final_metrics[metric_type] = (self.metric_sums[metric_type]
-                                              / self.metric_sums["num_vis_joints2Dsamples"])
+                                              / max(self.metric_sums["num_vis_joints2Dsamples"], 1))
             else:
                 if "PVE" in metric_type:
                     num_per_sample = 6890

@@ -142,7 +142,7 @@ class TrainingLossesAndMetricsTracker:
             if base in self.metrics_to_track:
                 if 'joints2Dsamples' in metric_type:
                     val = (self.loss_metric_sums[split + '_joints2Dsamples-L2E']
-                           / self.loss_metric_sums[split + '_num_visib_joints2Dsamples'])
+                           / max(self.loss_metric_sums[split + '_num_visib_joints2Dsamples'], 1))
                 else:
                     if 'PVE' in metric_type:
                         num_per_sample = 6890

@@ -17,6 +17,7 @@ One-sided Jacobi orthogonalises the *columns* of F by right rotations, which
 avoids forming F^T F (no condition-number squaring).
 """
 
+import jax
 import jax.numpy as jnp
 
 _TINY = 1e-30
@@ -60,7 +61,8 @@ def svd3x3(F, n_sweeps=8):
     A = F
     V = jnp.broadcast_to(jnp.eye(3, dtype=F.dtype), F.shape)
 
-    for _ in range(n_sweeps):
+    def sweep(_, carry):
+        A, V = carry
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
             a_pp = jnp.sum(A[..., :, p] * A[..., :, p], axis=-1)
             a_qq = jnp.sum(A[..., :, q] * A[..., :, q], axis=-1)
@@ -68,6 +70,12 @@ def svd3x3(F, n_sweeps=8):
             c, s = _jacobi_rotation(a_pp, a_qq, a_pq)
             A = _apply_right_rotation(A, p, q, c, s)
             V = _apply_right_rotation(V, p, q, c, s)
+        return A, V
+
+    # fori_loop keeps the XLA graph small (one sweep body, not n_sweeps
+    # unrolled copies x 23 joints x VJP); static trip count stays
+    # reverse-mode differentiable.
+    A, V = jax.lax.fori_loop(0, n_sweeps, sweep, (A, V))
 
     # Singular values = column norms of converged A = U diag(S).
     S = jnp.sqrt(jnp.maximum(jnp.sum(A * A, axis=-2), 0.0))  # (..., 3)

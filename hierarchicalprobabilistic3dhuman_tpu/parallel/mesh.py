@@ -1,0 +1,59 @@
+"""Device mesh construction and sharding specs.
+
+All distributed communication in the framework flows through this module: a
+`jax.sharding.Mesh` over ICI (plus DCN via jax.distributed for multi-host),
+with two logical axes:
+
+  * "data"   — the training/eval batch axis. Synthetic-data generation,
+               rendering, forward and loss are per-example, so data
+               parallelism needs only the gradient all-reduce that XLA
+               inserts automatically under jit;
+  * "sample" — the distribution-sample axis (this domain's analog of sequence
+               parallelism): the N pose/shape samples per image drawn for
+               losses/metrics/uncertainty are a second batch axis and shard
+               across the mesh for predict/eval throughput.
+
+The reference has no parallelism at all (single device via CUDA_VISIBLE_DEVICES,
+SURVEY §2.3); this module is where model axes (tp/pp) would be added if the
+encoder ever outgrew one chip.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, sample_parallel=1, devices=None):
+    """Create a ("data", "sample") mesh.
+
+    :param n_devices: total devices to use (default: all)
+    :param sample_parallel: size of the "sample" axis; "data" gets the rest.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % sample_parallel == 0, (n, sample_parallel)
+    grid = np.asarray(devices).reshape(n // sample_parallel, sample_parallel)
+    return Mesh(grid, axis_names=("data", "sample"))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh, ndim=1):
+    """Shard axis 0 over "data" (and, if the mesh has a non-trivial sample
+    axis, over ("data", "sample") combined so plain batches use all devices)."""
+    if mesh.shape["sample"] > 1:
+        spec = P(("data", "sample"))
+    else:
+        spec = P("data")
+    return NamedSharding(mesh, spec)
+
+
+def sample_sharding(mesh):
+    """Sharding for (batch, num_samples, ...) tensors: batch over "data",
+    samples over "sample"."""
+    return NamedSharding(mesh, P("data", "sample"))
