@@ -139,8 +139,12 @@ class TexturedIUVRenderer:
                  light_specular_color=(0.2, 0.2, 0.2),
                  background_color=(0.0, 0.0, 0.0),
                  uv_path=None,
-                 backend="xla"):
+                 backend="auto"):
         assert projection_type in ("perspective", "orthographic")
+        if backend == "auto":
+            # Pallas kernel on TPU; lax.scan formulation elsewhere (the Pallas
+            # interpreter on CPU is far slower than the XLA backend).
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.img_wh = img_wh
         self.projection_type = projection_type
         self.focal_length = float(perspective_focal_length)
