@@ -150,6 +150,72 @@ def convert_smpl_pkl_to_npz(pkl_path, npz_path, num_betas=10):
     )
 
 
+def _synthetic_template_from_densepose(rng):
+    """Body-shaped synthetic template positioned from the shipped DensePose
+    (part, U, V) surface coordinates.
+
+    Each DensePose vertex knows its body part and within-part UV; placing
+    vertices on per-part boxes arranged as a T-pose figure makes the DP mesh
+    faces spatially LOCAL on the synthetic body (like real SMPL) and the
+    renders humanoid. Falls back to a random ellipsoid cloud if the UV data
+    is unavailable.
+    """
+    try:
+        from hierarchicalprobabilistic3dhuman_tpu.renderers.textured_iuv_renderer import (
+            preprocess_densepose_UV)
+        dp = preprocess_densepose_UV()
+    except Exception:
+        u = rng.uniform(0, 2 * np.pi, NUM_VERTS)
+        v = rng.uniform(-1, 1, NUM_VERTS)
+        r = 0.25 + 0.05 * rng.randn(NUM_VERTS)
+        return np.stack([r * np.sqrt(1 - v ** 2) * np.cos(u), 0.85 * v,
+                         r * np.sqrt(1 - v ** 2) * np.sin(u)], axis=-1) \
+            .astype(np.float32)
+
+    # Per-part placement: centre (x, y, z), in-plane axes scale (su, sv) and a
+    # small depth bump. DensePose parts: 1,2 torso; 3,4 hands; 5,6 feet;
+    # 7-14 legs; 15-22 arms; 23,24 head.
+    def box(cx, cy, su, sv, depth=0.05):
+        return np.array([cx, cy, su, sv, depth], np.float32)
+
+    placement = {
+        1: box(0.0, 0.15, 0.18, 0.30), 2: box(0.0, 0.15, 0.18, 0.30, -0.05),
+        3: box(0.62, 0.28, 0.05, 0.05), 4: box(-0.62, 0.28, 0.05, 0.05),
+        5: box(-0.12, -0.92, 0.06, 0.08), 6: box(0.12, -0.92, 0.06, 0.08),
+        7: box(0.10, -0.35, 0.08, 0.18), 9: box(0.10, -0.35, 0.08, 0.18, -0.04),
+        8: box(-0.10, -0.35, 0.08, 0.18), 10: box(-0.10, -0.35, 0.08, 0.18, -0.04),
+        11: box(-0.11, -0.68, 0.06, 0.16), 13: box(-0.11, -0.68, 0.06, 0.16, -0.04),
+        12: box(0.11, -0.68, 0.06, 0.16), 14: box(0.11, -0.68, 0.06, 0.16, -0.04),
+        15: box(-0.32, 0.30, 0.10, 0.06), 17: box(-0.32, 0.30, 0.10, 0.06, -0.03),
+        16: box(0.32, 0.30, 0.10, 0.06), 18: box(0.32, 0.30, 0.10, 0.06, -0.03),
+        19: box(-0.50, 0.29, 0.09, 0.05), 21: box(-0.50, 0.29, 0.09, 0.05, -0.03),
+        20: box(0.50, 0.29, 0.09, 0.05), 22: box(0.50, 0.29, 0.09, 0.05, -0.03),
+        23: box(0.0, 0.52, 0.08, 0.09), 24: box(0.0, 0.52, 0.08, 0.09, -0.04),
+    }
+
+    template = np.zeros((NUM_VERTS, 3), np.float32)
+    counts = np.zeros(NUM_VERTS, np.int32)
+    parts = dp["verts_iuv"][:, 0].astype(np.int32)
+    uu = dp["verts_iuv"][:, 1]
+    vv = dp["verts_iuv"][:, 2]
+    vmap = dp["verts_map"]
+    for i in range(len(vmap)):
+        cx, cy, su, sv, depth = placement[int(parts[i])]
+        x = cx + su * (uu[i] - 0.5) * 2
+        y = cy + sv * (vv[i] - 0.5) * 2
+        z = depth * (1.0 - (2 * uu[i] - 1) ** 2) * (1.0 - (2 * vv[i] - 1) ** 2)
+        smpl_idx = int(vmap[i])
+        template[smpl_idx] += np.array([x, y, z], np.float32)
+        counts[smpl_idx] += 1
+    covered = counts > 0
+    template[covered] /= counts[covered, None]
+    # Unmapped vertices: scatter near the body centre.
+    template[~covered] = (np.array([0.0, 0.0, 0.0], np.float32)
+                          + 0.05 * rng.randn((~covered).sum(), 3))
+    template += 0.002 * rng.randn(NUM_VERTS, 3)  # break exact coplanarity
+    return template.astype(np.float32)
+
+
 def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
     """Structurally-correct random SMPL parameters for tests/benchmarks.
 
@@ -160,17 +226,7 @@ def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
     (blendshapes, kinematics, skinning, rendering) is exercised realistically.
     """
     rng = np.random.RandomState(seed)
-
-    # Template: a vertically-elongated ellipsoid point cloud (human-ish bbox
-    # ~1.7m tall), deterministic.
-    u = rng.uniform(0, 2 * np.pi, NUM_VERTS)
-    v = rng.uniform(-1, 1, NUM_VERTS)
-    r = 0.25 + 0.05 * rng.randn(NUM_VERTS)
-    v_template = np.stack([
-        r * np.sqrt(1 - v ** 2) * np.cos(u),
-        0.85 * v,
-        r * np.sqrt(1 - v ** 2) * np.sin(u),
-    ], axis=-1).astype(np.float32)
+    v_template = _synthetic_template_from_densepose(rng)
 
     shapedirs = (rng.randn(NUM_VERTS, 3, num_betas) * 0.01).astype(np.float32)
     posedirs_native = (rng.randn(NUM_VERTS, 3, 207) * 0.001).astype(np.float32)
@@ -189,7 +245,17 @@ def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
     w = np.exp(-d2.T / 0.02)  # (V, 24)
     lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
 
-    faces = rng.randint(0, NUM_VERTS, size=(13776, 3)).astype(np.int32)
+    # Faces: reuse the (shipped) DensePose triangulation mapped to SMPL vertex
+    # indexing — real topology, local connectivity (matters for the
+    # rasterizer's binning), padded to the real SMPL face count.
+    try:
+        from hierarchicalprobabilistic3dhuman_tpu.renderers.textured_iuv_renderer import (
+            preprocess_densepose_UV)
+        dp = preprocess_densepose_UV()
+        faces = dp["verts_map"][dp["faces"]].astype(np.int32)    # (13774, 3)
+        faces = np.concatenate([faces, np.zeros((2, 3), np.int32)], axis=0)
+    except Exception:
+        faces = rng.randint(0, NUM_VERTS, size=(13776, 3)).astype(np.int32)
 
     jre, jrc, jrh = _load_extra_regressors()
     return SMPLParams(

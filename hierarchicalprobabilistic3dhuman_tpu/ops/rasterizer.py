@@ -100,6 +100,12 @@ def rasterize_one(face_verts, face_attrs, image_hw, znear=1e-3, chunk=256):
         w0 = e0 * inv_denom
         w1 = e1 * inv_denom
         w2 = e2 * inv_denom
+        # Renormalise: FMA rounding makes w sums drift on sliver faces.
+        wsum = w0 + w1 + w2
+        inv_wsum = 1.0 / jnp.where(jnp.abs(wsum) > 1e-6, wsum, 1.0)
+        w0 = w0 * inv_wsum
+        w1 = w1 * inv_wsum
+        w2 = w2 * inv_wsum
 
         zpix = w0 * z[None, :, 0] + w1 * z[None, :, 1] + w2 * z[None, :, 2]
         covered = covered & (zpix > znear)
