@@ -85,6 +85,13 @@ def make_synth_data_fn(pose_shape_cfg, smpl_model, renderer, edge_detect_model):
         B = pose.shape[0]
         keys = jax.random.split(key, 8)
 
+        # uint8 inputs normalise on device — 4x less host->device traffic
+        # for the big texture/background tensors.
+        if background.dtype == jnp.uint8:
+            background = background.astype(jnp.float32) / 255.0
+        if texture.dtype == jnp.uint8:
+            texture = texture.astype(jnp.float32) / 255.0
+
         # Pose -> rotmats, 180-degree x-flip on global (reference :131-139).
         rotmats = batch_rodrigues(pose.reshape(B, 24, 3))
         target_glob_rotmats = rotmats[:, 0] @ Rx  # post-multiply
