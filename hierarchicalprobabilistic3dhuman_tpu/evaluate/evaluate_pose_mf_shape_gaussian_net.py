@@ -16,7 +16,7 @@ reference's artifact formats.
 """
 
 import os
-from functools import partial
+
 
 import numpy as np
 import jax

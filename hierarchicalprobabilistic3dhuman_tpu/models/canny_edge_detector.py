@@ -8,7 +8,6 @@ and directional non-max suppression. All convs are `lax.conv_general_dilated`
 jit-safe so the whole detector fuses into a handful of TPU kernels.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

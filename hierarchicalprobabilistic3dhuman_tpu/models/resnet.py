@@ -8,7 +8,6 @@ Compute runs NHWC (TPU-native layout); the public API accepts NCHW like the
 reference and transposes once at the boundary.
 """
 
-from functools import partial
 from typing import Any, Sequence
 
 import jax.numpy as jnp

@@ -19,8 +19,8 @@ Output joints layout matches the reference exactly (B, 90, 3):
 import os
 import pickle
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional
+
+
 
 import numpy as np
 import jax

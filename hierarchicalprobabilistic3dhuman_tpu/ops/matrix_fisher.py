@@ -13,7 +13,6 @@ det-sign "proper-ization" uses the closed-form 3x3 determinant (no CPU hop,
 unlike reference :221-222).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ pixels (down), z = camera depth (smaller = closer, z <= znear culled). Pixel
 either winding count (no backface culling, like the reference's settings).
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ gathers with bilinear or nearest interpolation and constant out-of-frame
 padding. Fully batched, jit/vmap-safe, static shapes.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

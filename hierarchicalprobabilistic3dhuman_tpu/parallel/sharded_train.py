@@ -8,7 +8,7 @@ device.
 """
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from hierarchicalprobabilistic3dhuman_tpu.parallel.mesh import (
     data_sharding, replicated_sharding)

@@ -17,7 +17,7 @@ rebuilt TPU-first:
 """
 
 import os
-from functools import partial
+
 from typing import Any, NamedTuple
 
 import numpy as np
