@@ -237,7 +237,8 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
         fig[:wh, 3 * wh:] = views_np[4]
         fig[wh:, 3 * wh:] = views_np[5]
         vis_save_path = os.path.join(save_dir, image_fname)
-        cv2.imwrite(vis_save_path, fig[:, :, ::-1] * 255)
+        cv2.imwrite(vis_save_path,
+                    np.clip(fig[:, :, ::-1] * 255, 0, 255).astype(np.uint8))
 
         if visualise_uncropped:
             bbox_centres = np.asarray(hrnet_output["bbox_centre"])[None]
@@ -255,7 +256,7 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
             bg = (unc_seg == 0)[:, :, None]
             out = unc_rgb * ~bg + orig_image * bg
             cv2.imwrite(os.path.splitext(vis_save_path)[0] + "_uncrop.png",
-                        out[:, :, ::-1])
+                        np.clip(out[:, :, ::-1], 0, 255).astype(np.uint8))
 
         if visualise_samples:
             num_samples = 8
@@ -293,7 +294,7 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                 r, c = (2 * i + 1) // cols, (2 * i + 1) % cols
                 samples_fig[r * wh:(r + 1) * wh, c * wh:(c + 1) * wh] = rot_samples[i]
             cv2.imwrite(os.path.splitext(vis_save_path)[0] + "_samples.png",
-                        samples_fig[:, :, ::-1] * 255)
+                        np.clip(samples_fig[:, :, ::-1] * 255, 0, 255).astype(np.uint8))
 
         results[image_fname] = {
             "pose_mode": np.asarray(pred["pose_rotmats_mode"][0]),
