@@ -139,8 +139,19 @@ class TexturedIUVRenderer:
                  light_specular_color=(0.2, 0.2, 0.2),
                  background_color=(0.0, 0.0, 0.0),
                  uv_path=None,
-                 backend="auto"):
+                 backend="auto",
+                 texture_mode="vertex"):
+        """texture_mode:
+        'vertex' — sample the UV atlas once per mesh VERTEX and interpolate
+            colours barycentrically. At SMPL density (13.8k faces spanning
+            1-3 px at 256^2) this is visually equivalent to per-pixel
+            sampling and ~8x fewer gathers (the per-pixel atlas gather was
+            measured as the single largest cost of the training step).
+        'pixel' — classic per-pixel UV sampling (pytorch3d-equivalent).
+        """
         assert projection_type in ("perspective", "orthographic")
+        assert texture_mode in ("vertex", "pixel")
+        self.texture_mode = texture_mode
         if backend == "auto":
             # Pallas kernel on TPU; lax.scan formulation elsewhere (the Pallas
             # interpreter on CPU is far slower than the XLA backend).
@@ -241,16 +252,30 @@ class TexturedIUVRenderer:
         screen = self._to_screen(verts_dp, cam_t, orthographic_scale)
         cam_space = verts_dp + cam_t[:, None, :]
 
-        # Attribute layout: [IUV(3) | UV-atlas(2) | normal(3) | campos(3) | rgb(3)?]
+        # Attribute layout: [IUV(3)] + (if rgb) [normal(3) | campos(3) | colour],
+        # where colour is per-vertex RGB (3) in vertex/features mode or the
+        # atlas UV (2) in per-pixel texture mode.
         attrs = [jnp.broadcast_to(self.verts_iuv, (B,) + self.verts_iuv.shape)]
         want_rgb = self.render_rgb
+        pixel_texture = (want_rgb and verts_features is None
+                         and self.texture_mode == "pixel")
         if want_rgb:
-            attrs.append(jnp.broadcast_to(self.verts_uv_offset,
-                                          (B,) + self.verts_uv_offset.shape))
             attrs.append(_vertex_normals(cam_space, self.faces))
             attrs.append(cam_space)
             if verts_features is not None:
                 attrs.append(verts_features[:, self.verts_map, :])
+            elif self.texture_mode == "vertex":
+                # Sample the atlas once per vertex; colours interpolate
+                # barycentrically during rasterization.
+                N = self.verts_uv_offset.shape[0]
+                u = jnp.broadcast_to(self.verts_uv_offset[:, 0], (B, N))
+                v = jnp.broadcast_to(self.verts_uv_offset[:, 1], (B, N))
+                texel_v = jax.vmap(_sample_texture_bilinear)(
+                    textures, u, v, jnp.ones((B, N), bool))
+                attrs.append(texel_v)
+            else:
+                attrs.append(jnp.broadcast_to(self.verts_uv_offset,
+                                              (B,) + self.verts_uv_offset.shape))
         vert_attrs = jnp.concatenate(attrs, axis=-1)
 
         out = rasterize(screen, self.faces, vert_attrs, (self.img_wh, self.img_wh),
@@ -263,14 +288,14 @@ class TexturedIUVRenderer:
             "silhouettes": mask.astype(jnp.float32),
         }
         if want_rgb:
-            uv = A[..., 3:5]
-            normal = A[..., 5:8]
-            campos = A[..., 8:11]
-            if verts_features is not None:
-                texel = A[..., 11:14]
-            else:
+            normal = A[..., 3:6]
+            campos = A[..., 6:9]
+            if pixel_texture:
+                uv = A[..., 9:11]
                 texel = jax.vmap(_sample_texture_bilinear)(
                     textures, uv[..., 0], uv[..., 1], mask)
+            else:
+                texel = A[..., 9:12]
             rgb = self._phong(texel, normal, campos, lights, mask)
             bg = self.background_color
             rgb = jnp.where(mask[..., None], rgb, bg)

@@ -54,15 +54,18 @@ def convert_multiclass_to_binary_labels(multiclass_labels):
 def _gaussian_heatmaps_rowcol(j2d_col, j2d_row, img_wh, std):
     """exp(-((col - u)^2 + (row - v)^2) / (2 std^2)) on an img_wh x img_wh grid.
 
+    Computed SEPARABLY as the outer product of two 1-D Gaussians — 2*W
+    transcendentals per joint instead of W^2 (the 2-D exp over a 256^2 grid
+    per joint was a measurable cost in the jitted training step).
+
     :param j2d_col: (..., N) horizontal (column/u) coords
     :param j2d_row: (..., N) vertical (row/v) coords
     :return: (..., N, img_wh, img_wh)
     """
-    rows = jnp.arange(img_wh, dtype=jnp.float32)[:, None]   # (H, 1)
-    cols = jnp.arange(img_wh, dtype=jnp.float32)[None, :]   # (1, W)
-    dc = (cols - j2d_col[..., None, None]) / std
-    dr = (rows - j2d_row[..., None, None]) / std
-    return jnp.exp(-(dc ** 2) / 2.0 - (dr ** 2) / 2.0)
+    grid = jnp.arange(img_wh, dtype=jnp.float32)
+    gc = jnp.exp(-((grid - j2d_col[..., None]) / std) ** 2 / 2.0)  # (..., N, W)
+    gr = jnp.exp(-((grid - j2d_row[..., None]) / std) ** 2 / 2.0)  # (..., N, H)
+    return gr[..., :, None] * gc[..., None, :]
 
 
 def convert_2Djoints_to_gaussian_heatmaps(joints2D, img_wh, std=4):

@@ -186,3 +186,32 @@ def test_canny_edge_on_step_image():
     cols = np.argwhere(interior.max(axis=0) > 0.5).ravel() + 4
     assert set(cols) <= {15, 16}  # thin edge at the step
     assert len(cols) >= 1
+
+
+def test_separable_resample_matches_gather():
+    """Axis-aligned affines: matmul path == gather path (both modes, padding)."""
+    img = RNG.rand(3, 4, 40, 40).astype(np.float32)
+    affine = np.zeros((3, 2, 3), np.float32)
+    affine[:, 0, 0] = [2.0, 0.7, 1.3]
+    affine[:, 1, 1] = [2.0, 0.7, 1.3]
+    affine[:, 0, 2] = [-10.0, 5.0, 3.0]
+    affine[:, 1, 2] = [-25.0, 2.0, -8.0]
+    for mode, pad in (("bilinear", 0.0), ("nearest", -1.0), ("bilinear", 2.5)):
+        sep = affine_resample(jnp.asarray(img), jnp.asarray(affine), (32, 48),
+                              mode=mode, pad_val=pad)
+        gat = affine_resample(jnp.asarray(img), jnp.asarray(affine), (32, 48),
+                              mode=mode, pad_val=pad, force_gather=True)
+        np.testing.assert_allclose(np.asarray(sep), np.asarray(gat),
+                                   atol=2e-5, err_msg=f"{mode} pad={pad}")
+
+
+def test_general_affine_uses_gather():
+    """Rotated affines fall back to the gather kernel and stay correct."""
+    img = RNG.rand(1, 1, 32, 32).astype(np.float32)
+    c, s = np.cos(0.3), np.sin(0.3)
+    affine = np.array([[[c, -s, 8.0], [s, c, -3.0]]], np.float32)
+    out = affine_resample(jnp.asarray(img), jnp.asarray(affine), (32, 32))
+    ref = cv2.warpAffine(img[0, 0], affine[0], (32, 32), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    diff = np.abs(np.asarray(out[0, 0]) - ref)
+    assert np.quantile(diff, 0.99) < 0.02
