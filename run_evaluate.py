@@ -114,6 +114,9 @@ if __name__ == "__main__":
                         help="Eval batch size (the reference is locked to 1; "
                              "larger is supported and faster).")
     parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of evaluation here.")
     args = parser.parse_args()
-
-    run_evaluate(args)
+    from hierarchicalprobabilistic3dhuman_tpu.runtime.profiling import trace
+    with trace(args.profile_dir):
+        run_evaluate(args)

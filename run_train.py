@@ -150,5 +150,9 @@ if __name__ == "__main__":
     parser.add_argument("--rng_seed", type=int, default=0)
     parser.add_argument("--num_epochs", type=int, default=None,
                         help="Override TRAIN.NUM_EPOCHS (e.g. for smoke runs).")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of training here.")
     args = parser.parse_args()
-    run_train(args)
+    from hierarchicalprobabilistic3dhuman_tpu.runtime.profiling import trace
+    with trace(args.profile_dir):
+        run_train(args)
