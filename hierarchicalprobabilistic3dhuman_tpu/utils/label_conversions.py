@@ -38,11 +38,19 @@ _DP24_TO_14 = np.array([0,  # background
 
 
 def convert_densepose_seg_to_14part_labels(densepose_seg):
-    """24 DensePose part labels -> 14 part labels (reference :38-72)."""
+    """24 DensePose part labels -> 14 part labels (reference :38-72).
+
+    On device the 25-entry LUT is evaluated as a sum of equality masks
+    (generic gather over a (B, wh, wh) index array was ~44 ms of the fused
+    training step on v5e; 25 fused compare+select passes are ~free on VPU).
+    """
     if isinstance(densepose_seg, np.ndarray):
         return _DP24_TO_14[densepose_seg.astype(np.int64)]
-    lut = jnp.asarray(_DP24_TO_14)
-    return lut[densepose_seg.astype(jnp.int32)]
+    seg = densepose_seg.astype(jnp.int32)
+    out = jnp.zeros_like(seg)
+    for cls in range(1, 25):
+        out = out + jnp.int32(_DP24_TO_14[cls]) * (seg == cls)
+    return out
 
 
 def convert_multiclass_to_binary_labels(multiclass_labels):
