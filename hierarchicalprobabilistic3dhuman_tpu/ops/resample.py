@@ -130,7 +130,7 @@ def _affine_resample_separable(images, affine_trans, out_hw, mode, pad_val):
 
 
 def affine_resample(images, affine_trans, out_hw, mode="bilinear", pad_val=0.0,
-                    force_gather=False):
+                    force_gather=False, assume_axis_aligned=False):
     """Warp a batch of images by forward affine transforms.
 
     Axis-aligned transforms (pure scale + translate — all crops/uncrops in
@@ -142,20 +142,25 @@ def affine_resample(images, affine_trans, out_hw, mode="bilinear", pad_val=0.0,
     :param out_hw: (OH, OW) static output size
     :param mode: 'bilinear' or 'nearest'
     :param pad_val: constant for out-of-frame samples
+    :param assume_axis_aligned: callers that construct scale+translate
+        transforms under jit (off-diagonals identically zero but traced, so
+        not statically inspectable) pass True to take the separable matmul
+        path. Traced transforms WITHOUT this flag use the general gather
+        kernel — correct for any affine.
     :return: (B, C, OH, OW)
     """
     # Structural (trace-time) check: off-diagonal terms identically zero.
-    axis_aligned = False
-    if not force_gather:
-        try:
+    axis_aligned = bool(assume_axis_aligned)
+    if not force_gather and not axis_aligned:
+        if isinstance(affine_trans, jax.core.Tracer):
+            # Traced values cannot be inspected; stay on the general gather
+            # path unless the caller vouches via assume_axis_aligned.
+            axis_aligned = False
+        else:
             a01 = np.asarray(affine_trans[..., 0, 1])
             a10 = np.asarray(affine_trans[..., 1, 0])
-            axis_aligned = np.all(a01 == 0) and np.all(a10 == 0)
-        except Exception:
-            # Traced values: cannot inspect — assume axis-aligned, which is
-            # true for every transform this framework constructs.
-            axis_aligned = True
-    if axis_aligned:
+            axis_aligned = bool(np.all(a01 == 0) and np.all(a10 == 0))
+    if axis_aligned and not force_gather:
         return _affine_resample_separable(images, affine_trans, out_hw, mode,
                                           pad_val)
     sx, sy = _source_coords(affine_trans, out_hw)  # (B, OH, OW)

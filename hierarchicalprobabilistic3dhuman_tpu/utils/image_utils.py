@@ -212,13 +212,15 @@ def batch_crop_affine(output_wh,
            "bbox_widths": bbox_widths, "affine_trans": affine}
     if iuv is not None:
         out["iuv"] = affine_resample(iuv, affine, (out_h, out_w), mode="nearest",
-                                     pad_val=out_of_frame_pad_val)
+                                     pad_val=out_of_frame_pad_val,
+                                     assume_axis_aligned=True)
     if rgb is not None:
         out["rgb"] = affine_resample(rgb, affine, (out_h, out_w), mode="bilinear",
-                                     pad_val=0.0)
+                                     pad_val=0.0, assume_axis_aligned=True)
     if seg is not None:
         out["seg"] = affine_resample(seg[:, None], affine, (out_h, out_w),
-                                     mode="nearest", pad_val=0.0)[:, 0]
+                                     mode="nearest", pad_val=0.0,
+                                     assume_axis_aligned=True)[:, 0]
     if joints2D is not None:
         out["joints2D"] = transform_points(affine, joints2D)
     return out
@@ -240,10 +242,13 @@ def batch_uncrop_affine(output_wh, uncrop_wh, bbox_centres, bbox_heights,
     out = {}
     if iuv is not None:
         out["iuv"] = affine_resample(iuv, affine, (oh, ow), mode="nearest",
-                                     pad_val=out_of_frame_pad_val)
+                                     pad_val=out_of_frame_pad_val,
+                                     assume_axis_aligned=True)
     if rgb is not None:
-        out["rgb"] = affine_resample(rgb, affine, (oh, ow), mode="bilinear", pad_val=0.0)
+        out["rgb"] = affine_resample(rgb, affine, (oh, ow), mode="bilinear",
+                                     pad_val=0.0, assume_axis_aligned=True)
     if seg is not None:
         out["seg"] = affine_resample(seg[:, None], affine, (oh, ow),
-                                     mode="nearest", pad_val=0.0)[:, 0]
+                                     mode="nearest", pad_val=0.0,
+                                     assume_axis_aligned=True)[:, 0]
     return out

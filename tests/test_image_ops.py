@@ -215,3 +215,35 @@ def test_general_affine_uses_gather():
                          borderMode=cv2.BORDER_CONSTANT, borderValue=0)
     diff = np.abs(np.asarray(out[0, 0]) - ref)
     assert np.quantile(diff, 0.99) < 0.02
+
+
+def test_traced_rotation_affine_is_correct_under_jit():
+    """A TRACED rotation affine must not silently take the separable path.
+
+    Regression for the round-1 landmine: affine_resample assumed traced
+    transforms were axis-aligned. Now traced transforms default to the
+    general gather kernel; assume_axis_aligned=True is the explicit opt-in.
+    """
+    import jax
+
+    img = RNG.rand(2, 1, 32, 32).astype(np.float32)
+    c, s = np.cos(0.4), np.sin(0.4)
+    affine = np.tile(np.array([[[c, -s, 6.0], [s, c, -2.0]]], np.float32),
+                     (2, 1, 1))
+
+    jitted = jax.jit(lambda im, a: affine_resample(im, a, (32, 32)))
+    out = np.asarray(jitted(jnp.asarray(img), jnp.asarray(affine)))
+    ref = np.asarray(affine_resample(jnp.asarray(img), jnp.asarray(affine),
+                                     (32, 32), force_gather=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # Axis-aligned opt-in under jit still matches the gather kernel.
+    aligned = np.zeros((2, 2, 3), np.float32)
+    aligned[:, 0, 0] = aligned[:, 1, 1] = 1.5
+    aligned[:, 0, 2] = -4.0
+    jitted_fast = jax.jit(lambda im, a: affine_resample(
+        im, a, (32, 32), assume_axis_aligned=True))
+    fast = np.asarray(jitted_fast(jnp.asarray(img), jnp.asarray(aligned)))
+    ref2 = np.asarray(affine_resample(jnp.asarray(img), jnp.asarray(aligned),
+                                      (32, 32), force_gather=True))
+    np.testing.assert_allclose(fast, ref2, atol=2e-5)
