@@ -29,7 +29,8 @@ import flax.linen as nn
 
 from hierarchicalprobabilistic3dhuman_tpu.models.resnet import resnet18, resnet50
 from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL_PARENTS
-from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import proper_svd3x3
+from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import (
+    proper_svd3x3, proper_svd3x3_lapack)
 
 
 def immediate_parents_to_all_parents(immediate_parents):
@@ -64,6 +65,11 @@ class PoseMFShapeGaussianNet(nn.Module):
     delta_i_weight: float = 1.0
     num_smpl_betas: int = 10
     svd_sweeps: int = 8
+    # "jacobi": on-device branch-free kernel (default; fast, differentiable).
+    # "lapack": host-callback gesdd with the torch reference's sign
+    #           conventions — use for converted-checkpoint inference parity
+    #           (see ops/svd3.py:svd3x3_lapack; not differentiable).
+    svd_impl: str = "jacobi"
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, input_feats=None):
@@ -115,7 +121,10 @@ class PoseMFShapeGaussianNet(nn.Module):
             if self.delta_i:
                 joint_F = joint_F + self.delta_i_weight * eye
 
-            svd = proper_svd3x3(joint_F, n_sweeps=self.svd_sweeps)
+            if self.svd_impl == "lapack":
+                svd = proper_svd3x3_lapack(joint_F)
+            else:
+                svd = proper_svd3x3(joint_F, n_sweeps=self.svd_sweeps)
             F_list.append(joint_F)
             U_list.append(svd["U"])
             S_list.append(svd["S"])

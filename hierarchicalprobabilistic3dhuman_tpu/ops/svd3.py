@@ -17,6 +17,7 @@ One-sided Jacobi orthogonalises the *columns* of F by right rotations, which
 avoids forming F^T F (no condition-number squaring).
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -122,17 +123,9 @@ def det3x3(M):
             + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]))
 
 
-def proper_svd3x3(F, n_sweeps=8):
-    """SVD with the reference's "proper" rotation convention.
-
-    U_proper / V_proper are guaranteed rotation matrices (det = +1) and the
-    third singular value carries the sign det(U)det(V) (reference:
-    models/poseMF_shapeGaussian_net.py:143-152, utils/sampling_utils.py:104-111).
-
-    :return: dict with U, S, V (raw SVD), U_proper, S_proper, V_proper, and
-             mode = U_proper @ V_proper^T (the distribution's mode rotation).
-    """
-    U, S, V = svd3x3(F, n_sweeps=n_sweeps)
+def _properize(U, S, V):
+    """Fold det signs into the 3rd column/value (reference convention:
+    models/poseMF_shapeGaussian_net.py:143-152, utils/sampling_utils.py:104-111)."""
     detU = det3x3(U)
     detV = det3x3(V)
     U_proper = U.at[..., :, 2].multiply(detU[..., None])
@@ -144,3 +137,57 @@ def proper_svd3x3(F, n_sweeps=8):
         "U_proper": U_proper, "S_proper": S_proper, "V_proper": V_proper,
         "mode": mode,
     }
+
+
+def proper_svd3x3(F, n_sweeps=8):
+    """SVD with the reference's "proper" rotation convention.
+
+    U_proper / V_proper are guaranteed rotation matrices (det = +1) and the
+    third singular value carries the sign det(U)det(V) (reference:
+    models/poseMF_shapeGaussian_net.py:143-152, utils/sampling_utils.py:104-111).
+
+    :return: dict with U, S, V (raw SVD), U_proper, S_proper, V_proper, and
+             mode = U_proper @ V_proper^T (the distribution's mode rotation).
+    """
+    U, S, V = svd3x3(F, n_sweeps=n_sweeps)
+    return _properize(U, S, V)
+
+
+def _np_svd3(F):
+    """Host LAPACK (gesdd) SVD — sign conventions match torch.svd ~98% of the
+    time on generic matrices (both follow the netlib gesdd algorithm)."""
+    U, S, Vh = np.linalg.svd(np.asarray(F))
+    return (U.astype(F.dtype), S.astype(F.dtype),
+            np.swapaxes(Vh, -1, -2).astype(F.dtype))
+
+
+def svd3x3_lapack(F):
+    """SVD via a host LAPACK callback — LAPACK column-sign conventions.
+
+    Use case: inference with checkpoints converted from the torch reference.
+    The reference trained its hierarchical pose head on LAPACK gesdd outputs
+    (torch.svd on CPU, models/poseMF_shapeGaussian_net.py:137-141), whose
+    U/V column signs are algorithm-defined; the on-device Jacobi kernel
+    (svd3x3) makes different sign choices, so deeper kinematic levels see
+    different MLP inputs. This callback reproduces the LAPACK signs so
+    converted checkpoints match the reference end-to-end (quantified in
+    tests/test_svd_sign_parity.py).
+
+    NOT differentiable and pays a host round-trip per call — use only for
+    converted-checkpoint inference/eval, never in the training hot path.
+    """
+    batch = F.shape[:-2]
+    flat_shape = (int(np.prod(batch)) if batch else 1, 3, 3)
+    flat = F.reshape(flat_shape)
+    out_shapes = (jax.ShapeDtypeStruct(flat_shape, F.dtype),
+                  jax.ShapeDtypeStruct(flat_shape[:2], F.dtype),
+                  jax.ShapeDtypeStruct(flat_shape, F.dtype))
+    U, S, V = jax.pure_callback(_np_svd3, out_shapes, flat,
+                                vmap_method="sequential")
+    return (U.reshape(F.shape), S.reshape(batch + (3,)), V.reshape(F.shape))
+
+
+def proper_svd3x3_lapack(F):
+    """proper_svd3x3 with LAPACK sign conventions (see svd3x3_lapack)."""
+    U, S, V = svd3x3_lapack(F)
+    return _properize(U, S, V)

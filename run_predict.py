@@ -112,13 +112,22 @@ def run_predict(args):
         smpl_model = SMPL.synthetic(num_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
 
     # Distribution predictor
+    # Converted torch checkpoints were trained on LAPACK gesdd sign
+    # conventions; 'auto' selects the host-callback LAPACK SVD for them so
+    # the hierarchical head sees reference-identical inputs at every depth
+    # (tests/test_svd_sign_parity.py quantifies both modes).
+    svd_impl = args.svd_impl
+    if svd_impl == "auto":
+        w = args.pose_shape_weights or ""
+        svd_impl = "lapack" if w.endswith((".tar", ".pth", ".pt")) else "jacobi"
     pose_shape_model = PoseMFShapeGaussianNet(
         num_in_channels=pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
         num_resnet_layers=pose_shape_cfg.MODEL.NUM_RESNET_LAYERS,
         embed_dim=pose_shape_cfg.MODEL.EMBED_DIM,
         delta_i=pose_shape_cfg.MODEL.DELTA_I,
         delta_i_weight=pose_shape_cfg.MODEL.DELTA_I_WEIGHT,
-        num_smpl_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
+        num_smpl_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS,
+        svd_impl=svd_impl)
     proxy_example = jnp.zeros((1, pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE))
@@ -151,6 +160,10 @@ if __name__ == "__main__":
                         help="Directory to save predictions/visualisations.")
     parser.add_argument("--pose_shape_weights", "-W3D", type=str, default=None)
     parser.add_argument("--pose_shape_cfg", type=str, default=None)
+    parser.add_argument("--svd_impl", type=str, default="auto",
+                        choices=["auto", "jacobi", "lapack"],
+                        help="3x3 SVD kernel: on-device jacobi (fast) or host "
+                             "LAPACK (exact converted-checkpoint parity).")
     parser.add_argument("--pose2D_hrnet_weights", "-W2D", type=str, default=None)
     parser.add_argument("--cropped_images", "-C", action="store_true",
                         help="Images are already cropped and centred.")
