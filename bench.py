@@ -1,16 +1,20 @@
-"""Benchmark: end-to-end inference throughput with 100 SMPL samples/image.
+"""Benchmark: FULL end-to-end inference throughput with 100 SMPL samples/image.
 
-Measures the flagship pipeline on the available accelerator:
-  18-channel proxy rep (Canny + heatmaps) -> ResNet-18 + hierarchical MF head
-  (incl. 23 on-device SVDs) -> 100 matrix-Fisher pose samples + 100 Gaussian
-  shape samples -> 100 SMPL meshes per image (batched LBS) -> per-vertex
-  uncertainty.
+Measures the complete predict pipeline on the available accelerator — the
+same call stack as reference run_predict.py on cropped images (SURVEY §3.1):
 
-This is the workload the reference runs as a python loop over joints and
-samples with CPU SVD/sampling hops ("inference can be slow due to the
-rejection sampling procedure", reference README.md:79); here it is one jitted
-program. Baseline for vs_baseline: the driver-set north-star of 50 images/s
-(BASELINE.json; the reference publishes no numbers).
+  512x512 RGB -> crop 384x288 + ImageNet norm -> HRNet-W48 forward (the
+  pipeline's biggest network, reference predict_hrnet.py:103) -> heatmap
+  argmax 2D keypoints -> 256x256 crop -> Canny edges + Gaussian heatmaps ->
+  18-ch proxy -> ResNet-18 + hierarchical MF head (23 on-device SVDs) ->
+  100 matrix-Fisher pose + 100 Gaussian shape samples -> 100 SMPL meshes per
+  image (batched LBS) -> per-vertex uncertainty.
+
+The reference runs this as a python loop over joints and samples with CPU
+SVD/sampling hops ("inference can be slow due to the rejection sampling
+procedure", reference README.md:79); here it is ONE jitted program. Baseline
+for vs_baseline: the driver-set north-star of 50 images/s (BASELINE.json;
+the reference publishes no numbers).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,31 +29,73 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose_shape_cfg_defaults, get_pose2d_hrnet_cfg_defaults)
     from hierarchicalprobabilistic3dhuman_tpu.models.pose_mf_shape_gaussian_net import (
         PoseMFShapeGaussianNet)
     from hierarchicalprobabilistic3dhuman_tpu.models.canny_edge_detector import (
         CannyEdgeDetector)
+    from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
+        PoseHighResolutionNet)
     from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL
     from hierarchicalprobabilistic3dhuman_tpu.ops.bingham_sampling import (
         pose_matrix_fisher_sampling, shape_gaussian_sampling)
-    from hierarchicalprobabilistic3dhuman_tpu.utils.label_conversions import (
-        convert_2Djoints_to_gaussian_heatmaps_batched)
-    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import rot6d_to_rotmat
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+        get_kp_locations_confs_from_heatmaps, IMAGENET_MEAN, IMAGENET_STD)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        build_proxy_representation)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+        batch_crop_affine)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
+        rot6d_to_rotmat)
 
     B = 16              # images per step
     NUM_SAMPLES = 100   # SMPL samples per image
-    D = 256
+    IMG = 512           # input image size (reference demo crops are 512x512)
 
+    pose_shape_cfg = get_pose_shape_cfg_defaults()
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    D = pose_shape_cfg.DATA.PROXY_REP_SIZE                  # 256
+    in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE                 # (288, 384)
+
+    hrnet = PoseHighResolutionNet(num_joints=hrnet_cfg.MODEL.NUM_JOINTS)
+    hrnet_vars = hrnet.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 3, in_h, in_w)))
     model = PoseMFShapeGaussianNet()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
     edge_model = CannyEdgeDetector(threshold=0.0)
     smpl = SMPL.synthetic()
 
-    def pipeline(key, rgb, joints2d):
-        edges = edge_model(rgb)["thresholded_thin_edges"]
-        heatmaps = convert_2Djoints_to_gaussian_heatmaps_batched(joints2d, D)
-        proxy = jnp.concatenate([edges, heatmaps], axis=1)
+    mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD)[:, None, None]
+    # Whole-image person box, aspect-fixed to 384:288 (predict_hrnet.py:83-98,
+    # the reference's --cropped_images path has no detector).
+    hr_centres = jnp.full((B, 2), IMG / 2.0)
+    hr_heights = jnp.full((B,), float(IMG))
+    hr_widths = jnp.full((B,), IMG / (float(in_h) / float(in_w)))
 
+    def pipeline(key, rgb512, hrnet_vars, variables):
+        # ---- HRNet stage: crop, normalise, forward, argmax keypoints ----
+        hr_crop = batch_crop_affine(
+            (in_w, in_h), rgb=rgb512,
+            bbox_centres=hr_centres, bbox_heights=hr_heights,
+            bbox_widths=hr_widths,
+            orig_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)["rgb"]
+        heatmaps_hr = hrnet.apply(hrnet_vars, (hr_crop - mean) / std)
+        joints2d, confs = get_kp_locations_confs_from_heatmaps(heatmaps_hr)
+        joints2d = joints2d * (in_w / float(hrnet_cfg.MODEL.HEATMAP_SIZE[0]))
+
+        # ---- proxy stage: 256^2 crop, Canny, heatmaps (predict driver :136-147)
+        cropped = batch_crop_affine(
+            (D, D), joints2D=joints2d, rgb=hr_crop,
+            bbox_centres=jnp.full((B, 2), in_h * 0.5).at[:, 1].set(in_w * 0.5),
+            bbox_heights=jnp.full((B,), float(in_h)),
+            bbox_widths=jnp.full((B,), float(in_h)),
+            orig_scale_factor=1.0)
+        proxy = build_proxy_representation(cropped["rgb"], cropped["joints2D"],
+                                           confs, edge_model, pose_shape_cfg)
+
+        # ---- distribution + sampling + SMPL + uncertainty ----
         pred = model.apply(variables, proxy)
         glob_rotmats = rot6d_to_rotmat(pred["glob"])
 
@@ -58,10 +104,12 @@ def main():
             key_p, pred["pose_params_U"], pred["pose_params_S"],
             pred["pose_params_V"], NUM_SAMPLES)
         shape_samples = shape_gaussian_sampling(
-            key_s, pred["shape_mean"], jnp.exp(pred["shape_log_std"]), NUM_SAMPLES)
+            key_s, pred["shape_mean"], jnp.exp(pred["shape_log_std"]),
+            NUM_SAMPLES)
 
         out = smpl(body_pose=pose_samples.reshape(B * NUM_SAMPLES, 23, 3, 3),
-                   global_orient=jnp.repeat(glob_rotmats[:, None], NUM_SAMPLES, axis=1)
+                   global_orient=jnp.repeat(glob_rotmats[:, None], NUM_SAMPLES,
+                                            axis=1)
                    .reshape(B * NUM_SAMPLES, 1, 3, 3),
                    betas=shape_samples.reshape(B * NUM_SAMPLES, -1),
                    pose2rot=False)
@@ -77,27 +125,33 @@ def main():
     # per-call latency nor its unreliable block_until_ready pollute the
     # measurement — this is the steady-state throughput a pipelined server
     # achieves.
+    # Model parameters are passed as ARGUMENTS (device buffers), not closure
+    # constants: baking HRNet-W48's 63M weights into the HLO as literals blows
+    # past serialized-module size limits (and is wrong for perf anyway).
     @jax.jit
-    def bench_loop(key, rgb, joints2d):
+    def bench_loop(key, rgb512, hrnet_vars, variables):
         def body(i, carry):
-            out = pipeline(jax.random.fold_in(key, i), rgb, joints2d)
+            out = pipeline(jax.random.fold_in(key, i), rgb512, hrnet_vars,
+                           variables)
             return carry + out[0]
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     rng = np.random.RandomState(0)
-    rgb = jnp.asarray(rng.rand(B, 3, D, D).astype(np.float32))
-    joints2d = jnp.asarray(rng.randint(20, D - 20, (B, 17, 2)).astype(np.float32))
+    rgb512 = jnp.asarray(rng.rand(B, 3, IMG, IMG).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
-    float(np.asarray(bench_loop(key, rgb, joints2d)))  # warm up / compile
+    hrnet_vars = jax.device_put(hrnet_vars)
+    variables = jax.device_put(variables)
+    float(np.asarray(bench_loop(key, rgb512, hrnet_vars, variables)))  # warm up
     t0 = time.perf_counter()
-    float(np.asarray(bench_loop(jax.random.fold_in(key, 123), rgb, joints2d)))
+    float(np.asarray(bench_loop(jax.random.fold_in(key, 123), rgb512,
+                                hrnet_vars, variables)))
     dt = time.perf_counter() - t0
 
     images_per_sec = B * n_iters / dt
     baseline = 50.0  # driver-set north-star (BASELINE.json), images/s @ 100 samples
     print(json.dumps({
-        "metric": "inference_images_per_sec_100smpl_samples",
+        "metric": "e2e_predict_images_per_sec_hrnet_w48_plus_100smpl_samples",
         "value": round(images_per_sec, 2),
         "unit": "images/s",
         "vs_baseline": round(images_per_sec / baseline, 3),

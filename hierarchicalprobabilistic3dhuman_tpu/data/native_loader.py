@@ -129,3 +129,39 @@ class NativeBatchSampler:
             self.close()
         except Exception:
             pass
+
+
+class NativeTrainLoader:
+    """Epoch-shaped dict-batch view over a NativeBatchSampler, drop-in for
+    the Python threaded DataLoader in the training loop (reference
+    equivalent: torch DataLoader workers, train driver :43-56 — here batch
+    assembly is mmap+memcpy on C++ threads, zero worker processes).
+
+    :param store_dir: directory with poses.bin / textures.bin /
+        backgrounds.bin written by data.pack_training_stores.
+    """
+
+    KEYS = ("pose", "texture", "background")
+
+    def __init__(self, store_dir, batch_size, n_threads=2, seed=0):
+        paths = [os.path.join(store_dir, f) for f in
+                 ("poses.bin", "textures.bin", "backgrounds.bin")]
+        for p in paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+        self._sampler = NativeBatchSampler(paths, batch_size,
+                                           n_threads=n_threads, seed=seed)
+        self.batch_size = batch_size
+        self.steps_per_epoch = max(self._sampler.n_items // batch_size, 1)
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def __iter__(self):
+        for _ in range(self.steps_per_epoch):
+            pose, texture, background = self._sampler.next()
+            yield {"pose": pose, "texture": texture,
+                   "background": background}
+
+    def close(self):
+        self._sampler.close()

@@ -74,21 +74,24 @@ class OnTheFlySMPLTrainDataset:
     def __len__(self):
         return len(self.poses)
 
+    # Textures/backgrounds stay uint8 on host: the jitted synthetic-data step
+    # normalises on device (train driver make_synth_data_fn), so the big
+    # tensors cross host->device at 1/4 the float32 byte count.
     def _sample_texture(self):
         if self._rng.rand() < self.grey_tex_prob:
             tex = self.grey_textures[self._rng.randint(len(self.grey_textures))]
         else:
             tex = self.nongrey_textures[self._rng.randint(len(self.nongrey_textures))]
-        return np.asarray(tex, np.float32) / 255.0
+        return np.asarray(tex, np.uint8)
 
     def _sample_background(self):
         if self.backgrounds_paths is None:
             bg = self._synthetic_bgs[self._rng.randint(len(self._synthetic_bgs))]
-            return np.asarray(bg, np.float32) / 255.0
+            return np.asarray(bg, np.uint8)
         path = self.backgrounds_paths[self._rng.randint(len(self.backgrounds_paths))]
         bg = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         bg = cv2.resize(bg, (self.img_wh, self.img_wh), interpolation=cv2.INTER_LINEAR)
-        return np.transpose(bg, (2, 0, 1)).astype(np.float32) / 255.0
+        return np.ascontiguousarray(np.transpose(bg, (2, 0, 1)))
 
     def __getitem__(self, index):
         return {"pose": self.poses[index],

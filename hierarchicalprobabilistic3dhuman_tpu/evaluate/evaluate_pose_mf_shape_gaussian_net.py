@@ -40,8 +40,24 @@ _X_FLIP = np.pi
 def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                     edge_detect_model, pose_shape_cfg, num_samples,
                     compute_joints2d, compute_silhouettes, compute_samples,
-                    silhouette_renderer):
-    """Build the jitted per-batch evaluation function."""
+                    silhouette_renderer, mesh=None):
+    """Build the jitted per-batch evaluation function.
+
+    With a mesh, the dataset batch shards over "data" and the (B, N, ...)
+    sample tensors (and their flattened (B*N, ...) SMPL/render batches)
+    shard over ("data", "sample") — dataset-sharded eval with the metric
+    reduction happening on host after the gathering fetch (SURVEY §2.3).
+    """
+    from hierarchicalprobabilistic3dhuman_tpu.parallel import (
+        sample_sharding, flat_sample_sharding, constrain,
+        make_sharded_eval_step)
+
+    if mesh is not None and mesh.shape.get("sample", 1) > 1:
+        samp_sh = sample_sharding(mesh)
+        flat_sh = flat_sample_sharding(mesh)
+    else:
+        samp_sh = flat_sh = None
+
     img_wh = pose_shape_cfg.DATA.PROXY_REP_SIZE
     h36m_map = jnp.asarray(ALL_JOINTS_TO_H36M_MAP)
     j14_map = jnp.asarray(H36M_TO_J14)
@@ -136,14 +152,16 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
             shape_samples = shape_gaussian_sampling(
                 key_shape, pred["shape_mean"], jnp.exp(pred["shape_log_std"]), N)
 
-            flat_pose = pose_samples.reshape(B * N, 23, 3, 3)
+            pose_samples = constrain(pose_samples, samp_sh)
+            shape_samples = constrain(shape_samples, samp_sh)
+            flat_pose = constrain(pose_samples.reshape(B * N, 23, 3, 3), flat_sh)
             flat_shape = shape_samples.reshape(B * N, -1)
             flat_glob = jnp.repeat(glob_rotmats[:, None], N, axis=1) \
                 .reshape(B * N, 1, 3, 3)
             sampled = smpl_neutral(body_pose=flat_pose, global_orient=flat_glob,
                                    betas=flat_shape, pose2rot=False)
-            verts_s = sampled["vertices"].reshape(B, N, -1, 3)
-            joints_s = sampled["joints"].reshape(B, N, -1, 3)
+            verts_s = constrain(sampled["vertices"].reshape(B, N, -1, 3), samp_sh)
+            joints_s = constrain(sampled["joints"].reshape(B, N, -1, 3), samp_sh)
             # inject the mode as sample 0 (reference :172-179)
             verts_s = verts_s.at[:, 0].set(verts_mode)
             joints3d_s = joints_s[:, :, h36m_map][:, :, j14_map]
@@ -164,7 +182,7 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                 out["pred_joints2Dsamples"] = j2d_s.reshape(B, N, -1, 2)
 
             if compute_silhouettes:
-                flat_verts = verts_s.reshape(B * N, -1, 3)
+                flat_verts = constrain(verts_s.reshape(B * N, -1, 3), flat_sh)
                 flat_verts = aa_rotate_translate_points(flat_verts, x_axis,
                                                         _X_FLIP, zero_t)
                 render_s = silhouette_renderer(
@@ -176,6 +194,8 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
 
         return out
 
+    if mesh is not None:
+        return make_sharded_eval_step(step, mesh)
     return jax.jit(step)
 
 
@@ -192,8 +212,19 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                                         num_samples_for_metrics=10,
                                         save_path=None,
                                         save_per_frame_metrics=False,
-                                        rng_seed=0):
-    """Run evaluation; prints final metrics and returns them as a dict."""
+                                        rng_seed=0,
+                                        mesh=None):
+    """Run evaluation; prints final metrics and returns them as a dict.
+
+    :param mesh: optional ("data", "sample") jax.sharding.Mesh — shards the
+        dataset batch over "data" and distribution samples over "sample"
+        (the reference is a strictly serial bs=1 loop, evaluate_...py:36).
+    """
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        assert batch_size % n_data == 0, (
+            f"batch_size={batch_size} must divide the mesh data axis "
+            f"({n_data}) for dataset-sharded eval")
     loader = DataLoader(eval_dataset, batch_size=batch_size, shuffle=False,
                         drop_last=True, num_workers=num_workers)
 
@@ -218,7 +249,7 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                            edge_detect_model, pose_shape_cfg,
                            num_samples_for_metrics, compute_joints2d,
                            compute_silhouettes, compute_samples,
-                           silhouette_renderer)
+                           silhouette_renderer, mesh=mesh)
     key = jax.random.PRNGKey(rng_seed)
 
     fname_per_frame, pose_per_frame, shape_per_frame, cam_per_frame = [], [], [], []

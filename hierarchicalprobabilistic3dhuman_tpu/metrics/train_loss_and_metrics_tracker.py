@@ -130,6 +130,16 @@ class TrainingLossesAndMetricsTracker:
             add('joints2Dsamples-L2E', np.sum(err))
             self.loss_metric_sums[split + '_num_visib_joints2Dsamples'] += err.shape[0]
 
+    def update_per_batch_sums(self, split, loss, batch_size, metric_sums):
+        """Accumulate metric sums computed ON DEVICE by the jitted train step
+        (metrics/metric_sums.py). Same bookkeeping as update_per_batch but the
+        host only ever sees scalars — no per-batch mesh fetch."""
+        assert split in ('train', 'val')
+        self.loss_metric_sums[split + '_losses'] += float(loss) * batch_size
+        self.loss_metric_sums[split + '_num_samples'] += batch_size
+        for name, value in metric_sums.items():
+            self.loss_metric_sums[split + '_' + name] += float(value)
+
     def update_per_epoch(self):
         self.epochs_history['train_losses'].append(
             self.loss_metric_sums['train_losses'] / self.loss_metric_sums['train_num_samples'])

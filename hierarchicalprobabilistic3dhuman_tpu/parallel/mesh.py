@@ -44,16 +44,53 @@ def replicated_sharding(mesh):
 
 
 def data_sharding(mesh, ndim=1):
-    """Shard axis 0 over "data" (and, if the mesh has a non-trivial sample
-    axis, over ("data", "sample") combined so plain batches use all devices)."""
-    if mesh.shape["sample"] > 1:
-        spec = P(("data", "sample"))
-    else:
-        spec = P("data")
-    return NamedSharding(mesh, spec)
+    """Shard axis 0 (the example/batch axis) over "data".
+
+    Per-example tensors are sharded over "data" only; their distribution
+    samples shard over "sample" separately (sample_sharding), so a (B, N, ...)
+    tensor uses every device without resharding the batch axis."""
+    return NamedSharding(mesh, P("data"))
 
 
 def sample_sharding(mesh):
     """Sharding for (batch, num_samples, ...) tensors: batch over "data",
     samples over "sample"."""
     return NamedSharding(mesh, P("data", "sample"))
+
+
+def flat_sample_sharding(mesh):
+    """Sharding for (batch * num_samples, ...) tensors (the flattened layout
+    batched SMPL consumes): axis 0 over ("data", "sample") — B-major, so it
+    is exactly the reshape of sample_sharding's (B, N, ...) layout and XLA
+    inserts no resharding collective between them."""
+    return NamedSharding(mesh, P(("data", "sample")))
+
+
+def constrain(x, sharding_or_none):
+    """with_sharding_constraint that tolerates mesh=None plumbing."""
+    if sharding_or_none is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding_or_none)
+
+
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialise jax.distributed for multi-host (DCN) meshes.
+
+    Single-process runs (the common case, and every test) are a no-op.
+    Multi-host runs pass coordinator/process info explicitly or rely on
+    jax.distributed's cluster auto-detection (TPU pods). Safe to call twice.
+
+    :return: True if jax.distributed was initialised by this call.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        return False
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            return False
+        raise

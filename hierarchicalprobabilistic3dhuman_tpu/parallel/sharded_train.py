@@ -1,21 +1,22 @@
 """pjit-sharded training/eval steps over a device mesh.
 
 Data-parallel training: parameters/optimizer state replicated, batch sharded
-over the mesh's "data" axis (and "sample" for the distribution-sample axis).
-XLA inserts the gradient all-reduce over ICI automatically; no hand-written
+over the mesh's "data" axis; the distribution-sample axis (N pose/shape
+samples per example) shards over "sample" via constraints placed inside the
+step (train.make_train_step / evaluate._make_eval_step take the mesh). XLA
+inserts the gradient all-reduce over ICI automatically; no hand-written
 collectives. The same jitted step runs single-chip when the mesh has one
 device.
 """
 
 import jax
-from jax.sharding import PartitionSpec as P
 
 from hierarchicalprobabilistic3dhuman_tpu.parallel.mesh import (
     data_sharding, replicated_sharding)
 
 
 def shard_batch(mesh, *arrays):
-    """Place host batch arrays with axis-0 sharding over the mesh."""
+    """Place host batch arrays with axis-0 "data" sharding over the mesh."""
     sh = data_sharding(mesh)
     return tuple(jax.device_put(a, sh) for a in arrays)
 
@@ -27,14 +28,23 @@ def make_sharded_train_step(step_fn, mesh):
     :param step_fn: the *python* step function (e.g. the closure built inside
         train.make_train_step before jit) OR any jit-compatible callable with
         the same signature.
-    :return: jitted function with explicit in/out shardings.
+    :return: jitted function with explicit input shardings. Outputs are left
+        to XLA (internal with_sharding_constraint calls pin what matters);
+        host fetches gather transparently.
     """
     rep = replicated_sharding(mesh)
     dat = data_sharding(mesh)
     in_shardings = (rep, rep, dat, dat, dat)
-    out_shardings = (rep, rep, dat, dat, rep)  # state, loss, metric_data, targets, terms
-    return jax.jit(step_fn, in_shardings=in_shardings,
-                   out_shardings=out_shardings)
+    return jax.jit(step_fn, in_shardings=in_shardings)
+
+
+def make_sharded_eval_step(step_fn, mesh):
+    """Wrap an (unjitted) eval step(key, image, heatmaps, pose, shape,
+    gender_code): dataset batch sharded over "data", key replicated. Sample
+    tensors inside shard over "sample" via the step's own constraints."""
+    rep = replicated_sharding(mesh)
+    dat = data_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(rep, dat, dat, dat, dat, dat))
 
 
 def make_sharded_apply(apply_fn, mesh):

@@ -77,7 +77,8 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                                        visualise_uncropped=True,
                                        visualise_samples=False,
                                        num_uncertainty_samples=50,
-                                       rng_seed=0):
+                                       rng_seed=0,
+                                       mesh=None):
     """Run prediction on every .jpg/.png in image_dir; write figures to save_dir.
 
     :param pose_shape_model_apply: callable proxy (B, 18, D, D) -> predictor
@@ -85,6 +86,10 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
     :param hrnet_apply: callable (B, 3, 384, 288) -> (B, 17, 96, 72)
     :param edge_detect_model: CannyEdgeDetector instance
     :param object_detect_fn: optional person detector callable
+    :param mesh: optional ("data", "sample") jax.sharding.Mesh — the
+        per-image uncertainty sampling (N=50 SMPL evaluations) shards over
+        the "sample" axis (predict runs one image at a time, so all devices
+        sit on the sample axis; SURVEY §2.3 sample parallelism).
     """
     os.makedirs(save_dir, exist_ok=True)
     body_vis_renderer = TexturedIUVRenderer(img_wh=visualise_wh,
@@ -102,7 +107,7 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
     def _uncertainty(key, U, S, V, mean, std, glob, num_samples, use_mean_shape):
         return compute_vertex_uncertainties_by_sampling(
             key, U, S, V, mean, std, glob, num_samples, smpl_model,
-            use_mean_shape=use_mean_shape)
+            use_mean_shape=use_mean_shape, mesh=mesh)
     lights_rgb_settings = {
         "location": jnp.broadcast_to(jnp.asarray([0.0, -0.8, -2.0]), (6, 3)),
         "ambient_color": jnp.full((6, 3), 0.5),

@@ -185,17 +185,38 @@ def make_synth_data_fn(pose_shape_cfg, smpl_model, renderer, edge_detect_model):
 
 def make_train_step(pose_shape_model, pose_shape_cfg, smpl_model, renderer,
                     edge_detect_model, loss_stage_cfg, optimizer, train,
-                    jit=True):
+                    jit=True, mesh=None, metrics_to_track=None):
     """One jitted step: synthetic data -> forward -> loss (-> Adam update).
 
     With jit=False returns the raw python closure (for parallel/sharded_train
-    to jit with explicit mesh shardings)."""
+    to jit with explicit mesh shardings). With a mesh whose "sample" axis is
+    non-trivial, the (B, N, ...) distribution-sample tensors and the flattened
+    (B*N, ...) SMPL batch are constrained to shard over ("data", "sample") —
+    the sample axis is this domain's sequence parallelism (SURVEY §2.3).
+
+    With metrics_to_track, the per-batch metric sums (Procrustes/scale
+    alignments included) are computed ON DEVICE inside the step and returned
+    as a dict of scalars in place of the full metric_data/targets tensors —
+    the host fetch drops from ~40 MB of meshes per batch (the reference pulls
+    verts/targets to CPU numpy every batch, train driver :351-370) to a
+    handful of floats. Return signature becomes
+    (new_state, loss, metric_sums, terms)."""
+    from hierarchicalprobabilistic3dhuman_tpu.parallel.mesh import (
+        sample_sharding, flat_sample_sharding, constrain)
+    from hierarchicalprobabilistic3dhuman_tpu.metrics.metric_sums import (
+        make_metric_sums_fn)
+
     cfg = pose_shape_cfg
     D = cfg.DATA.PROXY_REP_SIZE
     synth = make_synth_data_fn(cfg, smpl_model, renderer, edge_detect_model)
     criterion = PoseMFShapeGaussianLoss(loss_stage_cfg, img_wh=D)
     use_samples = "samples" in loss_stage_cfg.J2D_LOSS_ON
     num_samples = cfg.LOSS.NUM_SAMPLES
+    if mesh is not None and mesh.shape.get("sample", 1) > 1:
+        samp_sh = sample_sharding(mesh)
+        flat_sh = flat_sample_sharding(mesh)
+    else:
+        samp_sh = flat_sh = None
     x_axis = jnp.asarray([1.0, 0.0, 0.0])
     zero_t = jnp.zeros(3)
     h36m_map = jnp.asarray(ALL_JOINTS_TO_H36M_MAP)
@@ -232,16 +253,20 @@ def make_train_step(pose_shape_model, pose_shape_cfg, smpl_model, renderer,
             shape_samples = shape_gaussian_sampling(
                 key_shape, pred["shape_mean"], jnp.exp(pred["shape_log_std"]),
                 num_samples)
+            pose_samples = constrain(pose_samples, samp_sh)
+            shape_samples = constrain(shape_samples, samp_sh)
             flat = smpl_model(
-                body_pose=pose_samples.reshape(B * num_samples, 23, 3, 3),
+                body_pose=constrain(
+                    pose_samples.reshape(B * num_samples, 23, 3, 3), flat_sh),
                 global_orient=jnp.repeat(pred_glob_rotmats[:, None], num_samples,
                                          axis=1).reshape(B * num_samples, 1, 3, 3),
                 betas=shape_samples.reshape(B * num_samples, -1),
                 pose2rot=False)["joints"][:, coco_map]
             flat = aa_rotate_translate_points(flat, x_axis, np.pi, zero_t)
             cam_rep = jnp.repeat(pred["cam"], num_samples, axis=0)
-            j2d_samples = orthographic_project(flat, cam_rep) \
-                .reshape(B, num_samples, -1, 2)
+            j2d_samples = constrain(
+                orthographic_project(flat, cam_rep)
+                .reshape(B, num_samples, -1, 2), samp_sh)
             if loss_stage_cfg.J2D_LOSS_ON == "means+samples":
                 j2d_for_loss = jnp.concatenate([j2d_mode[:, None], j2d_samples], axis=1)
             else:
@@ -299,6 +324,11 @@ def make_train_step(pose_shape_model, pose_shape_cfg, smpl_model, renderer,
         reposed_mean = smpl_model(
             betas=jax.lax.stop_gradient(metric_data["shape_mean"]))["vertices"]
         metric_data["reposed_verts"] = reposed_mean
+
+        if metrics_to_track is not None:
+            metric_sums = make_metric_sums_fn(metrics_to_track, D)(
+                metric_data, targets, reposed_mean, targets["reposed_verts"])
+            return new_state, loss, metric_sums, terms
         return new_state, loss, metric_data, targets, terms
 
     if not jit:
@@ -323,22 +353,37 @@ def train_pose_mf_shape_gaussian_net(pose_shape_model,
                                      checkpoint=None,
                                      opt_state=None,
                                      rng_seed=0,
-                                     num_epochs=None):
-    """Full training loop (reference :27-405). Returns best variables."""
+                                     num_epochs=None,
+                                     mesh=None,
+                                     loaders=None):
+    """Full training loop (reference :27-405). Returns best variables.
+
+    :param mesh: optional jax.sharding.Mesh ("data", "sample"). When given,
+        the step is pjit-sharded: params/opt state replicated, batch over
+        "data", distribution samples over "sample" (reference equivalent:
+        none — it is single-GPU via CUDA_VISIBLE_DEVICES, run_train.py:132-135).
+    :param loaders: optional {"train": iterable, "val": iterable} of dict
+        batches (pose/texture/background) overriding the default Python
+        DataLoader — e.g. data.native_loader.NativeTrainLoader over packed
+        stores for C++-thread batch assembly.
+    """
     from hierarchicalprobabilistic3dhuman_tpu.data.loader import DataLoader
+    from hierarchicalprobabilistic3dhuman_tpu.parallel import (
+        make_sharded_train_step, shard_batch, replicated_sharding)
 
     cfg = pose_shape_cfg
     save_val_metrics = list(save_val_metrics)
     num_epochs = num_epochs or cfg.TRAIN.NUM_EPOCHS
 
-    loaders = {
-        "train": DataLoader(train_dataset, batch_size=cfg.TRAIN.BATCH_SIZE,
-                            shuffle=True, drop_last=True,
-                            num_workers=cfg.TRAIN.NUM_WORKERS, seed=rng_seed),
-        "val": DataLoader(val_dataset, batch_size=cfg.TRAIN.BATCH_SIZE,
-                          shuffle=True, drop_last=True,
-                          num_workers=cfg.TRAIN.NUM_WORKERS, seed=rng_seed + 1),
-    }
+    if loaders is None:
+        loaders = {
+            "train": DataLoader(train_dataset, batch_size=cfg.TRAIN.BATCH_SIZE,
+                                shuffle=True, drop_last=True,
+                                num_workers=cfg.TRAIN.NUM_WORKERS, seed=rng_seed),
+            "val": DataLoader(val_dataset, batch_size=cfg.TRAIN.BATCH_SIZE,
+                              shuffle=True, drop_last=True,
+                              num_workers=cfg.TRAIN.NUM_WORKERS, seed=rng_seed + 1),
+        }
 
     params = initial_variables["params"]
     batch_stats = initial_variables.get("batch_stats", {})
@@ -364,13 +409,35 @@ def train_pose_mf_shape_gaussian_net(pose_shape_model,
         log_save_path=logs_save_path, load_logs=load_logs,
         current_epoch=current_epoch)
 
-    # Two compiled step variants per split (stage 1 / stage 2).
+    # Two compiled step variants per split (stage 1 / stage 2). Metric sums
+    # (incl. Procrustes) are computed on device inside the step; the host
+    # fetches scalars only.
     steps = {}
     for stage, stage_cfg in ((1, cfg.LOSS.STAGE1), (2, cfg.LOSS.STAGE2)):
+        stage_metrics = list(metrics)
+        if stage == 2 and "joints2Dsamples-L2E" not in stage_metrics:
+            stage_metrics.append("joints2Dsamples-L2E")
         for split in ("train", "val"):
-            steps[(stage, split)] = make_train_step(
-                pose_shape_model, cfg, smpl_model, renderer, edge_detect_model,
-                stage_cfg, optimizer, train=(split == "train"))
+            if mesh is None:
+                steps[(stage, split)] = make_train_step(
+                    pose_shape_model, cfg, smpl_model, renderer,
+                    edge_detect_model, stage_cfg, optimizer,
+                    train=(split == "train"), metrics_to_track=stage_metrics)
+            else:
+                raw = make_train_step(
+                    pose_shape_model, cfg, smpl_model, renderer,
+                    edge_detect_model, stage_cfg, optimizer,
+                    train=(split == "train"), jit=False, mesh=mesh,
+                    metrics_to_track=stage_metrics)
+                steps[(stage, split)] = make_sharded_train_step(raw, mesh)
+
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        assert cfg.TRAIN.BATCH_SIZE % n_data == 0, (
+            f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must divide the mesh "
+            f"data axis ({n_data})")
+        rep = replicated_sharding(mesh)
+        state = TrainState(*(jax.device_put(s, rep) for s in state))
 
     key = jax.random.PRNGKey(rng_seed)
     current_loss_stage = 1
@@ -389,20 +456,20 @@ def train_pose_mf_shape_gaussian_net(pose_shape_model,
             step = steps[(current_loss_stage, split)]
             for batch in loaders[split]:
                 key, sub = jax.random.split(key)
-                state, loss, metric_data, targets, terms = step(
-                    state, sub, jnp.asarray(batch["pose"]),
-                    jnp.asarray(batch["background"]),
-                    jnp.asarray(batch["texture"]))
+                if mesh is None:
+                    batch_arrays = (jnp.asarray(batch["pose"]),
+                                    jnp.asarray(batch["background"]),
+                                    jnp.asarray(batch["texture"]))
+                else:
+                    batch_arrays = shard_batch(mesh, batch["pose"],
+                                               batch["background"],
+                                               batch["texture"])
+                state, loss, metric_sums, terms = step(state, sub, *batch_arrays)
 
-                pred_np = {k: np.asarray(v) for k, v in metric_data.items()
-                           if k != "reposed_verts"}
-                target_np = {k: np.asarray(v) for k, v in targets.items()}
-                tracker.update_per_batch(
+                tracker.update_per_batch_sums(
                     split=split, loss=float(loss),
-                    pred_dict=pred_np, target_dict=target_np,
                     batch_size=batch["pose"].shape[0],
-                    pred_reposed_vertices=np.asarray(metric_data["reposed_verts"]),
-                    target_reposed_vertices=target_np["reposed_verts"])
+                    metric_sums={k: float(v) for k, v in metric_sums.items()})
 
         tracker.update_per_epoch()
 

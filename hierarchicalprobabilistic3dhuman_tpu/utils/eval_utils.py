@@ -46,12 +46,37 @@ def compute_similarity_transform(S1, S2):
 
 
 def procrustes_analysis_batch(S1, S2):
-    """Batched Procrustes alignment via vmap (reference :62-67).
+    """Batched Procrustes alignment (reference :62-67).
+
+    TPU-native: the 3x3 cross-covariance SVD uses the batched Jacobi kernel
+    (ops.svd3) instead of a LAPACK callback, so this runs inside jitted
+    train/eval steps on device. The rotation R = V Z U^T is invariant to the
+    SVD's per-column sign ambiguity, so results match the LAPACK path.
 
     :param S1, S2: (B, N, 3)
-    :return: (B, N, 3)
+    :return: (B, N, 3) S1 aligned to S2
     """
-    return jax.vmap(compute_similarity_transform)(jnp.asarray(S1), jnp.asarray(S2))
+    from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import svd3x3, det3x3
+
+    S1 = jnp.asarray(S1)
+    S2 = jnp.asarray(S2)
+    if S1.shape[-1] != 3:
+        return jax.vmap(compute_similarity_transform)(S1, S2)
+
+    mu1 = S1.mean(axis=1, keepdims=True)
+    mu2 = S2.mean(axis=1, keepdims=True)
+    X1 = S1 - mu1
+    X2 = S2 - mu2
+    var1 = jnp.sum(X1 ** 2, axis=(1, 2))                      # (B,)
+    K = jnp.einsum("bni,bnj->bij", X1, X2)                    # (B, 3, 3)
+    U, s, V = svd3x3(K)
+    sign = jnp.sign(det3x3(U @ jnp.swapaxes(V, -1, -2)))
+    Vz = V.at[..., :, 2].multiply(sign[..., None])
+    R = Vz @ jnp.swapaxes(U, -1, -2)                          # (B, 3, 3)
+    scale = jnp.einsum("bij,bji->b", R, K) / var1             # (B,)
+    t = mu2 - scale[:, None, None] * jnp.einsum(
+        "bij,bnj->bni", R, mu1)
+    return scale[:, None, None] * jnp.einsum("bij,bnj->bni", R, S1) + t
 
 
 def scale_and_translation_transform_batch(P, T):

@@ -29,7 +29,8 @@ def compute_vertex_uncertainties_by_sampling(key,
                                              smpl,
                                              use_mean_shape=False,
                                              b=1.5,
-                                             oversampling_ratio=8):
+                                             oversampling_ratio=8,
+                                             mesh=None):
     """Per-vertex mean distance-from-mean over N (pose, shape) SMPL samples.
 
     reference :146-192, generalised to batch size B (the reference asserts
@@ -38,9 +39,20 @@ def compute_vertex_uncertainties_by_sampling(key,
     :param pose_U/S/V: (B, 23, 3, 3) / (B, 23, 3) / (B, 23, 3, 3)
     :param shape_mean, shape_std: (B, num_betas)
     :param glob_rotmats: (B, 3, 3)
+    :param mesh: optional ("data", "sample") jax.sharding.Mesh — shards the
+        N samples (and the flattened B*N SMPL batch) over the "sample" axis.
     :return: avg_distance (B, 6890), vertices_samples (B, N, 6890, 3),
              joints_samples (B, N, 90, 3)
     """
+    from hierarchicalprobabilistic3dhuman_tpu.parallel.mesh import (
+        sample_sharding, flat_sample_sharding, constrain)
+
+    if mesh is not None and mesh.shape.get("sample", 1) > 1:
+        samp_sh = sample_sharding(mesh)
+        flat_sh = flat_sample_sharding(mesh)
+    else:
+        samp_sh = flat_sh = None
+
     B = pose_U.shape[0]
     key_pose, key_shape = jax.random.split(key)
     pose_samples = pose_matrix_fisher_sampling(key_pose, pose_U, pose_S, pose_V,
@@ -51,8 +63,11 @@ def compute_vertex_uncertainties_by_sampling(key,
                                   (B, num_samples, shape_mean.shape[-1]))
     else:
         shapes = shape_gaussian_sampling(key_shape, shape_mean, shape_std, num_samples)
+    pose_samples = constrain(pose_samples, samp_sh)
+    shapes = constrain(shapes, samp_sh)
 
-    flat_pose = pose_samples.reshape(B * num_samples, 23, 3, 3)
+    flat_pose = constrain(pose_samples.reshape(B * num_samples, 23, 3, 3),
+                          flat_sh)
     flat_shape = shapes.reshape(B * num_samples, -1)
     flat_glob = jnp.broadcast_to(glob_rotmats[:, None], (B, num_samples, 3, 3)) \
         .reshape(B * num_samples, 1, 3, 3)

@@ -92,6 +92,21 @@ def run_evaluate(args):
     save_path = args.save_path or os.path.join("./evaluations", args.dataset)
     os.makedirs(save_path, exist_ok=True)
 
+    # Device mesh: dataset-sharded eval over "data", distribution samples
+    # over "sample" (the reference is a serial single-device bs=1 loop).
+    from hierarchicalprobabilistic3dhuman_tpu.parallel import (
+        make_mesh, distributed_init)
+    distributed_init()
+    n_avail = len(jax.devices())
+    n_devices = args.num_devices if args.num_devices is not None else n_avail
+    mesh = None
+    if n_devices > 1 and args.batch_size % max(
+            n_devices // args.sample_parallel, 1) == 0:
+        mesh = make_mesh(n_devices=n_devices,
+                         sample_parallel=args.sample_parallel)
+        print(f"Evaluating on mesh {dict(mesh.shape)} "
+              f"({n_devices}/{n_avail} devices)")
+
     evaluate_pose_mf_shape_gaussian_net(
         pose_shape_apply=pose_shape_apply,
         pose_shape_cfg=pose_shape_cfg,
@@ -105,7 +120,8 @@ def run_evaluate(args):
         num_workers=args.num_workers,
         num_samples_for_metrics=args.num_samples,
         save_path=save_path,
-        save_per_frame_metrics=True)
+        save_per_frame_metrics=True,
+        mesh=mesh)
 
 
 if __name__ == "__main__":
@@ -127,6 +143,12 @@ if __name__ == "__main__":
                         help="Eval batch size (the reference is locked to 1; "
                              "larger is supported and faster).")
     parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Devices for dataset-sharded eval (default: all "
+                             "local; 1 forces the unsharded path).")
+    parser.add_argument("--sample_parallel", type=int, default=1,
+                        help="Size of the mesh 'sample' axis (distribution "
+                             "samples shard across it).")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of evaluation here.")
     args = parser.parse_args()

@@ -137,6 +137,16 @@ def run_predict(args):
     print(f"Loaded Distribution Predictor weights from {args.pose_shape_weights}"
           if args.pose_shape_weights else "")
 
+    # Sample-parallel mesh: predict is one image at a time, so all devices
+    # go on the "sample" axis for the 50-sample uncertainty pass.
+    from hierarchicalprobabilistic3dhuman_tpu.parallel import make_mesh
+    n_avail = len(jax.devices())
+    n_devices = args.num_devices if args.num_devices is not None else n_avail
+    mesh = make_mesh(n_devices=n_devices, sample_parallel=n_devices) \
+        if n_devices > 1 else None
+    if mesh is not None:
+        print(f"Predicting with sample-parallel mesh {dict(mesh.shape)}")
+
     predict_pose_mf_shape_gaussian_net(
         pose_shape_model_apply=pose_shape_apply,
         pose_shape_cfg=pose_shape_cfg,
@@ -149,7 +159,8 @@ def run_predict(args):
         object_detect_fn=object_detect_fn,
         joints2Dvisib_threshold=args.joints2Dvisib_threshold,
         visualise_uncropped=args.visualise_uncropped,
-        visualise_samples=args.visualise_samples)
+        visualise_samples=args.visualise_samples,
+        mesh=mesh)
 
 
 if __name__ == "__main__":
@@ -172,6 +183,9 @@ if __name__ == "__main__":
     parser.add_argument("--joints2Dvisib_threshold", "-T", type=float, default=0.75)
     parser.add_argument("--gender", "-G", type=str, default="neutral",
                         choices=["neutral", "male", "female"])
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Devices for sample-parallel uncertainty "
+                             "sampling (default: all local).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Unused; kept for CLI parity.")
     args = parser.parse_args()

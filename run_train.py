@@ -122,6 +122,47 @@ def run_train(args):
     metrics = ['PVE', 'PVE-SC', 'PVE-T-SC', 'MPJPE', 'MPJPE-SC', 'MPJPE-PA',
                'joints2D-L2E']
 
+    # Device mesh: auto data-parallel across all local devices (the reference
+    # is single-GPU only, run_train.py:132-135). --num_devices 1 forces the
+    # plain single-device path; --sample_parallel splits the mesh into
+    # ("data", "sample") so stage-2 distribution samples shard separately.
+    from hierarchicalprobabilistic3dhuman_tpu.parallel import (
+        make_mesh, distributed_init)
+    distributed_init(coordinator_address=args.coordinator_address,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
+    n_avail = len(jax.devices())
+    n_devices = args.num_devices if args.num_devices is not None else n_avail
+    mesh = None
+    if n_devices > 1:
+        mesh = make_mesh(n_devices=n_devices,
+                         sample_parallel=args.sample_parallel)
+        print(f"Training on mesh {dict(mesh.shape)} "
+              f"({n_devices}/{n_avail} devices)")
+
+    # Optional native C++ input pipeline: batches assembled by mmap+memcpy on
+    # C++ threads from packed stores (data/pack_training_stores.py), uint8
+    # textures/backgrounds end-to-end (normalised on device).
+    loaders = None
+    if args.native_data_dir is not None:
+        from hierarchicalprobabilistic3dhuman_tpu.data.native_loader import (
+            NativeTrainLoader)
+
+        def store_dir(split):
+            sub = os.path.join(args.native_data_dir, split)
+            return sub if os.path.isdir(sub) else args.native_data_dir
+
+        loaders = {
+            "train": NativeTrainLoader(store_dir("train"),
+                                       pose_shape_cfg.TRAIN.BATCH_SIZE,
+                                       seed=args.rng_seed),
+            "val": NativeTrainLoader(store_dir("val"),
+                                     pose_shape_cfg.TRAIN.BATCH_SIZE,
+                                     seed=args.rng_seed + 1),
+        }
+        print(f"Native input pipeline: {args.native_data_dir} "
+              f"({loaders['train'].steps_per_epoch} train steps/epoch)")
+
     train_pose_mf_shape_gaussian_net(
         pose_shape_model=pose_shape_model,
         pose_shape_cfg=pose_shape_cfg,
@@ -138,7 +179,9 @@ def run_train(args):
         checkpoint=checkpoint,
         opt_state=opt_state,
         rng_seed=args.rng_seed,
-        num_epochs=args.num_epochs)
+        num_epochs=args.num_epochs,
+        mesh=mesh,
+        loaders=loaders)
 
 
 if __name__ == "__main__":
@@ -150,6 +193,20 @@ if __name__ == "__main__":
     parser.add_argument("--rng_seed", type=int, default=0)
     parser.add_argument("--num_epochs", type=int, default=None,
                         help="Override TRAIN.NUM_EPOCHS (e.g. for smoke runs).")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="Devices to train on (default: all local; 1 "
+                             "forces the unsharded path).")
+    parser.add_argument("--sample_parallel", type=int, default=1,
+                        help="Size of the mesh 'sample' axis (distribution "
+                             "samples shard across it in stage 2).")
+    parser.add_argument("--native_data_dir", type=str, default=None,
+                        help="Directory of packed .bin stores (see "
+                             "data/pack_training_stores.py); enables the "
+                             "C++ batch-assembly input pipeline.")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="jax.distributed coordinator (multi-host only).")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of training here.")
     args = parser.parse_args()

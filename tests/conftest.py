@@ -18,3 +18,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Tests verify NUMERICS (parity vs torch/numpy oracles) and SEMANTICS
+# (sharding, shapes, conventions) — not codegen quality. Skipping XLA's
+# expensive optimisation passes cuts the suite's CPU compile time ~2-3x
+# (the full fused train-step jits dominated the round-1 suite timeout).
+jax.config.update("jax_disable_most_optimizations", True)

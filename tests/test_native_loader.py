@@ -66,3 +66,36 @@ def test_sampler_shuffles(stores):
         assert not np.array_equal(b1, b2)
     finally:
         sampler.close()
+
+
+def test_native_train_loader_dict_batches(tmp_path):
+    """NativeTrainLoader yields epoch-shaped dict batches matching the
+    training loop's expectations (uint8 textures/backgrounds end-to-end)."""
+    from hierarchicalprobabilistic3dhuman_tpu.data.native_loader import (
+        NativeTrainLoader, write_tensor_store)
+
+    n, wh = 20, 16
+    rng = np.random.RandomState(0)
+    poses = rng.randn(n, 72).astype(np.float32)
+    textures = (rng.rand(n, 24, 16, 3) * 255).astype(np.uint8)
+    bgs = (rng.rand(n, 3, wh, wh) * 255).astype(np.uint8)
+    write_tensor_store(str(tmp_path / "poses.bin"), poses)
+    write_tensor_store(str(tmp_path / "textures.bin"), textures)
+    write_tensor_store(str(tmp_path / "backgrounds.bin"), bgs)
+
+    loader = NativeTrainLoader(str(tmp_path), batch_size=4, seed=3)
+    try:
+        assert len(loader) == 5
+        batches = list(loader)
+        assert len(batches) == 5
+        b = batches[0]
+        assert set(b) == {"pose", "texture", "background"}
+        assert b["pose"].shape == (4, 72) and b["pose"].dtype == np.float32
+        assert b["texture"].shape == (4, 24, 16, 3) and b["texture"].dtype == np.uint8
+        assert b["background"].shape == (4, 3, wh, wh) and b["background"].dtype == np.uint8
+        # records come from the stores, row-aligned across fields
+        i = int(np.argmin(np.abs(poses[:, 0] - b["pose"][0, 0])))
+        np.testing.assert_array_equal(b["texture"][0], textures[i])
+        np.testing.assert_array_equal(b["background"][0], bgs[i])
+    finally:
+        loader.close()
