@@ -258,12 +258,20 @@ class TexturedIUVRenderer:
         attrs = [jnp.broadcast_to(self.verts_iuv, (B,) + self.verts_iuv.shape)]
         want_rgb = self.render_rgb
         pixel_texture = (want_rgb and verts_features is None
-                         and self.texture_mode == "pixel")
+                         and self.texture_mode == "pixel"
+                         and textures is not None and textures.ndim == 4)
         if want_rgb:
             attrs.append(_vertex_normals(cam_space, self.faces))
             attrs.append(cam_space)
             if verts_features is not None:
                 attrs.append(verts_features[:, self.verts_map, :])
+            elif (textures is not None and textures.ndim == 3
+                  and textures.shape[1] == self.verts_uv_offset.shape[0]):
+                # Pre-sampled per-vertex texels (B, 7829, 3) — e.g. packed at
+                # data-prep time by data/pack_training_stores.py. Skips the
+                # per-step atlas gather entirely (and shrinks the host->device
+                # texture payload ~125x vs the full 1200x800 atlas).
+                attrs.append(textures)
             elif self.texture_mode == "vertex":
                 # Sample the atlas once per vertex; colours interpolate
                 # barycentrically during rasterization.

@@ -454,6 +454,19 @@ def train_pose_mf_shape_gaussian_net(pose_shape_model,
 
         for split in ("train", "val"):
             step = steps[(current_loss_stage, split)]
+            # Deferred metric fetch: resolving loss/sums to floats blocks on
+            # device completion, so fetching immediately would serialise host
+            # dispatch with device compute (measured ~2x step wall on the
+            # tunnel-attached TPU). Keep one step in flight and account for
+            # step N-1 after dispatching step N.
+            pending = None
+
+            def resolve(p):
+                p_split, p_loss, p_sums, p_bs = p
+                tracker.update_per_batch_sums(
+                    split=p_split, loss=float(p_loss), batch_size=p_bs,
+                    metric_sums={k: float(v) for k, v in p_sums.items()})
+
             for batch in loaders[split]:
                 key, sub = jax.random.split(key)
                 if mesh is None:
@@ -465,11 +478,11 @@ def train_pose_mf_shape_gaussian_net(pose_shape_model,
                                                batch["background"],
                                                batch["texture"])
                 state, loss, metric_sums, terms = step(state, sub, *batch_arrays)
-
-                tracker.update_per_batch_sums(
-                    split=split, loss=float(loss),
-                    batch_size=batch["pose"].shape[0],
-                    metric_sums={k: float(v) for k, v in metric_sums.items()})
+                if pending is not None:
+                    resolve(pending)
+                pending = (split, loss, metric_sums, batch["pose"].shape[0])
+            if pending is not None:
+                resolve(pending)
 
         tracker.update_per_epoch()
 

@@ -3,6 +3,7 @@ sharded == single-device equivalence for the flagship forward, and gradient
 all-reduce equivalence for a small data-parallel loss."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P, NamedSharding
@@ -21,6 +22,7 @@ def test_mesh_construction():
     assert mesh2.shape == {"data": 4, "sample": 2}
 
 
+@pytest.mark.slow
 def test_sharded_forward_equals_single_device():
     from hierarchicalprobabilistic3dhuman_tpu.models.pose_mf_shape_gaussian_net import (
         PoseMFShapeGaussianNet)
@@ -102,6 +104,7 @@ def test_sharded_eval_metric_equality():
     np.testing.assert_allclose(sharded, serial, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_eval_step_matches_single_device():
     """The REAL eval step (proxy -> gendered targets -> prediction -> MF/shape
     sampling -> SMPL) sharded over a ('data', 'sample') mesh reproduces the

@@ -108,6 +108,7 @@ def test_predictor_conversion_parity_static_heads():
                                mode_r[:, 0].numpy(), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_hierarchy():
     model = PoseMFShapeGaussianNet()
     x = jnp.asarray(RNG.rand(1, 18, 32, 32).astype(np.float32))

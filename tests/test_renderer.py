@@ -124,6 +124,7 @@ def test_renderer_iuv_and_silhouette():
     np.testing.assert_allclose((iuv[..., 0] > 0).astype(np.float32), sil)
 
 
+@pytest.mark.slow
 def test_renderer_orthographic_scale_behaviour():
     smpl = SMPL.synthetic()
     verts = smpl(batch_size=1)["vertices"]

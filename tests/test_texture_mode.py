@@ -38,6 +38,7 @@ def _render(verts, texture, mode, img_wh=128):
     return r(verts, textures=texture[None], cam_t=cam_t)
 
 
+@pytest.mark.slow
 def test_vertex_vs_pixel_texture_delta_quantified(scene):
     """Smooth texture: modes agree closely. High-frequency texture: the
     measured delta is printed and bounded. IUV and silhouette are identical
@@ -70,3 +71,28 @@ def test_vertex_vs_pixel_texture_delta_quantified(scene):
 
     # The smooth-texture agreement is the case that matters for training
     # (SURF/cloth textures are low-frequency relative to 1-3 px faces).
+
+
+def test_packed_per_vertex_texels_match_atlas_sampling(scene):
+    """Per-vertex texel records (packed by data/pack_training_stores.py)
+    render identically to on-device atlas sampling in vertex mode, up to
+    uint8 quantisation."""
+    from hierarchicalprobabilistic3dhuman_tpu.data.pack_training_stores import (
+        sample_texture_atlas_at_vertices)
+
+    tH, tW = 120, 80
+    atlas = (RNG.rand(1, tH, tW, 3) * 255).astype(np.uint8)
+    texels = sample_texture_atlas_at_vertices(atlas)          # (1, 7829, 3)
+    assert texels.shape[1] == 7829 and texels.dtype == np.uint8
+
+    r = TexturedIUVRenderer(img_wh=64, projection_type="perspective",
+                            render_rgb=True, texture_mode="vertex",
+                            backend="xla")
+    cam_t = jnp.asarray([[0.0, 0.2, 2.5]])
+    out_atlas = r(scene, textures=jnp.asarray(atlas, jnp.float32) / 255.0,
+                  cam_t=cam_t)
+    out_texel = r(scene, textures=jnp.asarray(texels, jnp.float32) / 255.0,
+                  cam_t=cam_t)
+    d = np.abs(np.asarray(out_atlas["rgb_images"])
+               - np.asarray(out_texel["rgb_images"]))
+    assert d.max() < 2.5 / 255.0, d.max()   # uint8 rounding only
