@@ -46,6 +46,8 @@ def main():
         build_proxy_representation)
     from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
         batch_crop_affine)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.precision import (
+        cast_floating)
     from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
         rot6d_to_rotmat)
 
@@ -81,7 +83,13 @@ def main():
             bbox_centres=hr_centres, bbox_heights=hr_heights,
             bbox_widths=hr_widths,
             orig_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)["rgb"]
-        heatmaps_hr = hrnet.apply(hrnet_vars, (hr_crop - mean) / std)
+        # HRNet-W48 runs in bfloat16 (MXU-native; keypoints come from a
+        # heatmap argmax, which is robust to bf16 rounding — quantified in
+        # tests/test_hrnet.py::test_bf16_inference_matches_f32). The
+        # probabilistic head + SMPL stay float32.
+        heatmaps_hr = hrnet.apply(
+            hrnet_vars, ((hr_crop - mean) / std).astype(jnp.bfloat16))
+        heatmaps_hr = heatmaps_hr.astype(jnp.float32)
         joints2d, confs = get_kp_locations_confs_from_heatmaps(heatmaps_hr)
         joints2d = joints2d * (in_w / float(hrnet_cfg.MODEL.HEATMAP_SIZE[0]))
 
@@ -140,7 +148,7 @@ def main():
     rgb512 = jnp.asarray(rng.rand(B, 3, IMG, IMG).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
-    hrnet_vars = jax.device_put(hrnet_vars)
+    hrnet_vars = jax.device_put(cast_floating(hrnet_vars))
     variables = jax.device_put(variables)
     float(np.asarray(bench_loop(key, rgb512, hrnet_vars, variables)))  # warm up
     t0 = time.perf_counter()

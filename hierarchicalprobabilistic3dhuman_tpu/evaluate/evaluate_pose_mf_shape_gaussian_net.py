@@ -36,17 +36,54 @@ from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
 
 _X_FLIP = np.pi
 
+_GENDER_CODES = {"n": 0, "neutral": 0, "m": 1, "male": 1, "f": 2, "female": 2}
+
+
+class _ReorderedDataset:
+    """Index-permutation view of a dataset; items gain 'orig_index' so
+    per-frame artifacts can be restored to dataset order after the
+    gender-sorted pass."""
+
+    def __init__(self, dataset, order):
+        self.dataset = dataset
+        self.order = np.asarray(order)
+
+    def __len__(self):
+        return len(self.order)
+
+    def __getitem__(self, index):
+        orig = int(self.order[index])
+        item = dict(self.dataset[orig])
+        item["orig_index"] = orig
+        return item
+
+
+def _dataset_gender_codes(eval_dataset):
+    """(len,) int32 gender codes from the dataset's label array, or None."""
+    genders = getattr(eval_dataset, "gender",
+                      getattr(eval_dataset, "genders", None))
+    if genders is None:
+        return None
+    return np.array([_GENDER_CODES.get(str(g).strip(), 0) for g in genders],
+                    np.int32)
+
 
 def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                     edge_detect_model, pose_shape_cfg, num_samples,
                     compute_joints2d, compute_silhouettes, compute_samples,
-                    silhouette_renderer, mesh=None):
+                    silhouette_renderer, mesh=None, static_gender=None):
     """Build the jitted per-batch evaluation function.
 
     With a mesh, the dataset batch shards over "data" and the (B, N, ...)
     sample tensors (and their flattened (B*N, ...) SMPL/render batches)
     shard over ("data", "sample") — dataset-sharded eval with the metric
     reduction happening on host after the gathering fetch (SURVEY §2.3).
+
+    static_gender (None | 0 | 1 | 2): when the whole batch shares one gender
+    (the driver gender-sorts the dataset so this is the common case), only
+    that gender's SMPL targets are computed — the general path pays 3x the
+    target-SMPL work to select per example (reference evaluate_...py:83-104
+    runs bs=1 so it never faces mixed batches).
     """
     from hierarchicalprobabilistic3dhuman_tpu.parallel import (
         sample_sharding, flat_sample_sharding, constrain,
@@ -89,14 +126,18 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
             reposed = smpl(betas=target_shape)
             return posed["vertices"], posed["joints"], reposed["vertices"]
 
-        vm, jm, rm = gendered(smpl_male)
-        vf, jf, rf = gendered(smpl_female)
-        vn, jn, rn = gendered(smpl_neutral)
-        is_m = (gender_code == 1)[:, None, None]
-        is_f = (gender_code == 2)[:, None, None]
-        target_verts = jnp.where(is_m, vm, jnp.where(is_f, vf, vn))
-        target_joints = jnp.where(is_m, jm, jnp.where(is_f, jf, jn))
-        target_reposed = jnp.where(is_m, rm, jnp.where(is_f, rf, rn))
+        if static_gender is not None:
+            smpl_target = (smpl_neutral, smpl_male, smpl_female)[static_gender]
+            target_verts, target_joints, target_reposed = gendered(smpl_target)
+        else:
+            vm, jm, rm = gendered(smpl_male)
+            vf, jf, rf = gendered(smpl_female)
+            vn, jn, rn = gendered(smpl_neutral)
+            is_m = (gender_code == 1)[:, None, None]
+            is_f = (gender_code == 2)[:, None, None]
+            target_verts = jnp.where(is_m, vm, jnp.where(is_f, vf, vn))
+            target_joints = jnp.where(is_m, jm, jnp.where(is_f, jf, jn))
+            target_reposed = jnp.where(is_m, rm, jnp.where(is_f, rf, rn))
         out["target_verts"] = target_verts
         out["target_reposed_verts"] = target_reposed
         out["target_joints3D"] = target_joints[:, h36m_map][:, j14_map]
@@ -213,18 +254,30 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                                         save_path=None,
                                         save_per_frame_metrics=False,
                                         rng_seed=0,
-                                        mesh=None):
+                                        mesh=None,
+                                        sort_by_gender=True):
     """Run evaluation; prints final metrics and returns them as a dict.
 
     :param mesh: optional ("data", "sample") jax.sharding.Mesh — shards the
         dataset batch over "data" and distribution samples over "sample"
         (the reference is a strictly serial bs=1 loop, evaluate_...py:36).
+    :param sort_by_gender: iterate the dataset grouped by gender so almost
+        every batch is single-gender and runs a step specialised to ONE
+        target-SMPL forward (the mixed-batch fallback computes all three and
+        selects). Metric sums are order-invariant; per-frame npy dumps are
+        restored to dataset order before saving.
     """
     if mesh is not None:
         n_data = mesh.shape["data"]
         assert batch_size % n_data == 0, (
             f"batch_size={batch_size} must divide the mesh data axis "
             f"({n_data}) for dataset-sharded eval")
+
+    dataset_codes = _dataset_gender_codes(eval_dataset) if sort_by_gender else None
+    sorted_pass = dataset_codes is not None and len(np.unique(dataset_codes)) > 1
+    if sorted_pass:
+        eval_dataset = _ReorderedDataset(eval_dataset,
+                                         np.argsort(dataset_codes, kind="stable"))
     loader = DataLoader(eval_dataset, batch_size=batch_size, shuffle=False,
                         drop_last=True, num_workers=num_workers)
 
@@ -245,20 +298,28 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
             img_wh=pose_shape_cfg.DATA.PROXY_REP_SIZE,
             projection_type="orthographic", render_rgb=False)
 
-    step = _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
-                           edge_detect_model, pose_shape_cfg,
-                           num_samples_for_metrics, compute_joints2d,
-                           compute_silhouettes, compute_samples,
-                           silhouette_renderer, mesh=mesh)
+    steps = {}
+
+    def get_step(static_gender):
+        if static_gender not in steps:
+            steps[static_gender] = _make_eval_step(
+                pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
+                edge_detect_model, pose_shape_cfg, num_samples_for_metrics,
+                compute_joints2d, compute_silhouettes, compute_samples,
+                silhouette_renderer, mesh=mesh, static_gender=static_gender)
+        return steps[static_gender]
+
     key = jax.random.PRNGKey(rng_seed)
 
     fname_per_frame, pose_per_frame, shape_per_frame, cam_per_frame = [], [], [], []
+    orig_index_per_frame = []
 
     for batch in loader:
         B = batch["image"].shape[0]
-        gender_code = np.array([{"n": 0, "neutral": 0, "m": 1, "f": 2}
-                                .get(str(g).strip(), 0) for g in batch["gender"]],
-                               np.int32)
+        gender_code = np.array([_GENDER_CODES.get(str(g).strip(), 0)
+                                for g in batch["gender"]], np.int32)
+        uniq = np.unique(gender_code)
+        step = get_step(int(uniq[0]) if len(uniq) == 1 else None)
         key, sub = jax.random.split(key)
         out = step(sub, jnp.asarray(batch["image"]), jnp.asarray(batch["heatmaps"]),
                    jnp.asarray(batch["pose"]), jnp.asarray(batch["shape"]),
@@ -295,16 +356,22 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                 axis=1))
             shape_per_frame.append(out["pred_shape_mean"])
             cam_per_frame.append(out["pred_cam"])
+        if sorted_pass:
+            orig_index_per_frame.append(np.asarray(batch["orig_index"]))
 
-    final_metrics = tracker.compute_final_metrics()
+    restore = None
+    if sorted_pass and orig_index_per_frame:
+        restore = np.argsort(np.concatenate(orig_index_per_frame, axis=0),
+                             kind="stable")
+    final_metrics = tracker.compute_final_metrics(frame_order=restore)
 
     if save_per_frame_metrics and save_path is not None:
-        np.save(os.path.join(save_path, "fname_per_frame.npy"),
-                np.concatenate(fname_per_frame, axis=0))
-        np.save(os.path.join(save_path, "pose_per_frame.npy"),
-                np.concatenate(pose_per_frame, axis=0))
-        np.save(os.path.join(save_path, "shape_per_frame.npy"),
-                np.concatenate(shape_per_frame, axis=0))
-        np.save(os.path.join(save_path, "cam_per_frame.npy"),
-                np.concatenate(cam_per_frame, axis=0))
+        arrays = {"fname_per_frame": np.concatenate(fname_per_frame, axis=0),
+                  "pose_per_frame": np.concatenate(pose_per_frame, axis=0),
+                  "shape_per_frame": np.concatenate(shape_per_frame, axis=0),
+                  "cam_per_frame": np.concatenate(cam_per_frame, axis=0)}
+        if restore is not None:
+            arrays = {k: v[restore] for k, v in arrays.items()}
+        for name, arr in arrays.items():
+            np.save(os.path.join(save_path, f"{name}.npy"), arr)
     return final_metrics

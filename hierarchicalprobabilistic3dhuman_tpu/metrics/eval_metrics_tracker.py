@@ -172,7 +172,10 @@ class EvalMetricsTracker:
 
         return None, per_frame_return
 
-    def compute_final_metrics(self):
+    def compute_final_metrics(self, frame_order=None):
+        """frame_order: optional permutation applied to the per-frame metric
+        arrays before saving (the eval driver iterates gender-sorted, then
+        restores dataset order here). Metric sums are order-invariant."""
         final_metrics = {}
         for metric_type in self.metrics_to_track:
             mult = 1.0
@@ -206,6 +209,8 @@ class EvalMetricsTracker:
             for metric_type in self.metrics_to_track:
                 if "samples" not in metric_type:
                     per_frame = np.concatenate(self.per_frame_metrics[metric_type], axis=0)
+                    if frame_order is not None and len(frame_order) == len(per_frame):
+                        per_frame = per_frame[frame_order]
                     np.save(os.path.join(self.save_path,
                                          metric_type + "_per_frame.npy"), per_frame)
         return final_metrics

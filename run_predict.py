@@ -92,7 +92,14 @@ def run_predict(args):
                                hrnet_cfg.MODEL.IMAGE_SIZE[0]))
     hrnet_vars = _load_hrnet_variables(args.pose2D_hrnet_weights, hrnet_model,
                                        hrnet_example)
-    hrnet_apply = jax.jit(lambda x: hrnet_model.apply(hrnet_vars, x))
+    if args.bf16:
+        # MXU-native inference: params + activations in bfloat16; the
+        # keypoint argmax is robust to bf16 rounding (tests/test_hrnet.py::
+        # test_bf16_inference_matches_f32). Heatmaps return as float32.
+        from hierarchicalprobabilistic3dhuman_tpu.utils.precision import bf16_apply
+        hrnet_apply = jax.jit(bf16_apply(hrnet_model.apply, hrnet_vars))
+    else:
+        hrnet_apply = jax.jit(lambda x: hrnet_model.apply(hrnet_vars, x))
     print("Loaded HRNet weights." if args.pose2D_hrnet_weights else "")
 
     # Canny
@@ -188,6 +195,9 @@ if __name__ == "__main__":
                              "sampling (default: all local).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Unused; kept for CLI parity.")
+    parser.add_argument("--bf16", action="store_true",
+                        help="Run HRNet-W48 in bfloat16 (2x MXU rate, half "
+                             "the HBM traffic; keypoint argmax unaffected).")
     args = parser.parse_args()
 
     run_predict(args)
