@@ -71,7 +71,8 @@ def _dataset_gender_codes(eval_dataset):
 def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                     edge_detect_model, pose_shape_cfg, num_samples,
                     compute_joints2d, compute_silhouettes, compute_samples,
-                    silhouette_renderer, mesh=None, static_gender=None):
+                    silhouette_renderer, mesh=None, static_gender=None,
+                    frame_metrics_fn=None):
     """Build the jitted per-batch evaluation function.
 
     With a mesh, the dataset batch shards over "data" and the (B, N, ...)
@@ -84,6 +85,13 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
     that gender's SMPL targets are computed — the general path pays 3x the
     target-SMPL work to select per example (reference evaluate_...py:83-104
     runs bs=1 so it never faces mixed batches).
+
+    frame_metrics_fn (metric_sums.make_eval_frame_metrics_fn result): when
+    given, the per-frame metric values are computed ON DEVICE inside the step
+    and returned under out["frame_metrics"]; the bulky vertex/sample/
+    silhouette tensors are then dropped from the step outputs so the host
+    fetch per batch is a few KB (the reference fetches everything and runs
+    numpy Procrustes per batch, eval driver :230-234).
     """
     from hierarchicalprobabilistic3dhuman_tpu.parallel import (
         sample_sharding, flat_sample_sharding, constrain,
@@ -103,8 +111,12 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
     zero_t = jnp.zeros(3)
     Rx = so3_exp(x_axis[None] * _X_FLIP)[0]
 
-    def step(key, image, heatmaps, target_pose, target_shape, gender_code):
-        """gender_code: (B,) int32 — 0 neutral, 1 male, 2 female."""
+    def step(key, image, heatmaps, target_pose, target_shape, gender_code,
+             target_joints2d, target_silhouette):
+        """gender_code: (B,) int32 — 0 neutral, 1 male, 2 female.
+        target_joints2d (B, 17, 2) / target_silhouette (B, D, D): dataset
+        ground truth for the joints2D/silhouette metrics (zero-filled when
+        the metric set does not use them)."""
         B = image.shape[0]
         out = {}
 
@@ -233,6 +245,20 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                 sil = (jnp.round(render_s["iuv_images"][..., 0]) > 0).astype(jnp.float32)
                 out["pred_silhouettessamples"] = sil.reshape(B, N, img_wh, img_wh)
 
+        if frame_metrics_fn is not None:
+            pred_m = {k[len("pred_"):]: v for k, v in out.items()
+                      if k.startswith("pred_")}
+            target_m = {k[len("target_"):]: v for k, v in out.items()
+                        if k.startswith("target_")}
+            target_m["joints2D"] = target_joints2d
+            target_m["silhouettes"] = target_silhouette
+            out["frame_metrics"] = frame_metrics_fn(pred_m, target_m)
+            # Drop the bulky tensors the host no longer needs; keep the small
+            # per-frame dump fields (pose/shape/cam/glob).
+            keep = {"frame_metrics", "pred_glob_rotmats",
+                    "pred_pose_rotmats_mode", "pred_shape_mean", "pred_cam"}
+            out = {k: v for k, v in out.items() if k in keep}
+
         return out
 
     if mesh is not None:
@@ -255,7 +281,8 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                                         save_per_frame_metrics=False,
                                         rng_seed=0,
                                         mesh=None,
-                                        sort_by_gender=True):
+                                        sort_by_gender=True,
+                                        on_device_metrics=True):
     """Run evaluation; prints final metrics and returns them as a dict.
 
     :param mesh: optional ("data", "sample") jax.sharding.Mesh — shards the
@@ -266,6 +293,11 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
         target-SMPL forward (the mixed-batch fallback computes all three and
         selects). Metric sums are order-invariant; per-frame npy dumps are
         restored to dataset order before saving.
+    :param on_device_metrics: compute the per-frame metrics (Procrustes/
+        scale alignments, sample minima, IOU counts) inside the jitted step
+        and fetch a few KB per batch, instead of pulling the full vertex/
+        sample/silhouette tensors to host numpy (the reference behaviour,
+        kept under on_device_metrics=False).
     """
     if mesh is not None:
         n_data = mesh.shape["data"]
@@ -298,6 +330,12 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
             img_wh=pose_shape_cfg.DATA.PROXY_REP_SIZE,
             projection_type="orthographic", render_rgb=False)
 
+    frame_metrics_fn = None
+    if on_device_metrics:
+        from hierarchicalprobabilistic3dhuman_tpu.metrics.metric_sums import (
+            make_eval_frame_metrics_fn)
+        frame_metrics_fn = make_eval_frame_metrics_fn(metrics)
+
     steps = {}
 
     def get_step(static_gender):
@@ -306,7 +344,8 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                 pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                 edge_detect_model, pose_shape_cfg, num_samples_for_metrics,
                 compute_joints2d, compute_silhouettes, compute_samples,
-                silhouette_renderer, mesh=mesh, static_gender=static_gender)
+                silhouette_renderer, mesh=mesh, static_gender=static_gender,
+                frame_metrics_fn=frame_metrics_fn)
         return steps[static_gender]
 
     key = jax.random.PRNGKey(rng_seed)
@@ -321,33 +360,41 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
         uniq = np.unique(gender_code)
         step = get_step(int(uniq[0]) if len(uniq) == 1 else None)
         key, sub = jax.random.split(key)
+        D = pose_shape_cfg.DATA.PROXY_REP_SIZE
+        target_j2d = (jnp.asarray(batch["keypoints"], jnp.float32)
+                      if "keypoints" in batch else jnp.zeros((B, 17, 2)))
+        target_sil = (jnp.asarray(batch["silhouette"], jnp.float32)
+                      if "silhouette" in batch else jnp.zeros((B, D, D)))
         out = step(sub, jnp.asarray(batch["image"]), jnp.asarray(batch["heatmaps"]),
                    jnp.asarray(batch["pose"]), jnp.asarray(batch["shape"]),
-                   jnp.asarray(gender_code))
-        out = {k: np.asarray(v) for k, v in out.items()}
+                   jnp.asarray(gender_code), target_j2d, target_sil)
+        out = jax.tree.map(np.asarray, dict(out))
 
-        pred_dict = {"verts": out["pred_verts"],
-                     "reposed_verts": out["pred_reposed_verts"],
-                     "joints3D": out["pred_joints3D"]}
-        target_dict = {"verts": out["target_verts"],
-                       "reposed_verts": out["target_reposed_verts"],
-                       "joints3D": out["target_joints3D"]}
-        if "joints2D-L2E" in metrics:
-            pred_dict["joints2D"] = out["pred_joints2D"]
-            target_dict["joints2D"] = np.asarray(batch["keypoints"])
-        if "silhouette-IOU" in metrics:
-            pred_dict["silhouettes"] = out["pred_silhouettes"]
-            target_dict["silhouettes"] = np.asarray(batch["silhouette"])
-        if compute_samples:
-            pred_dict["verts_samples"] = out["pred_verts_samples"]
-            pred_dict["reposed_verts_samples"] = out["pred_reposed_verts_samples"]
-            pred_dict["joints3D_samples"] = out["pred_joints3D_samples"]
-        if "joints2Dsamples-L2E" in metrics:
-            pred_dict["joints2Dsamples"] = out["pred_joints2Dsamples"]
-        if "silhouettesamples-IOU" in metrics:
-            pred_dict["silhouettessamples"] = out["pred_silhouettessamples"]
+        if on_device_metrics:
+            tracker.update_per_batch_device(out["frame_metrics"], B)
+        else:
+            pred_dict = {"verts": out["pred_verts"],
+                         "reposed_verts": out["pred_reposed_verts"],
+                         "joints3D": out["pred_joints3D"]}
+            target_dict = {"verts": out["target_verts"],
+                           "reposed_verts": out["target_reposed_verts"],
+                           "joints3D": out["target_joints3D"]}
+            if "joints2D-L2E" in metrics:
+                pred_dict["joints2D"] = out["pred_joints2D"]
+                target_dict["joints2D"] = np.asarray(batch["keypoints"])
+            if "silhouette-IOU" in metrics:
+                pred_dict["silhouettes"] = out["pred_silhouettes"]
+                target_dict["silhouettes"] = np.asarray(batch["silhouette"])
+            if compute_samples:
+                pred_dict["verts_samples"] = out["pred_verts_samples"]
+                pred_dict["reposed_verts_samples"] = out["pred_reposed_verts_samples"]
+                pred_dict["joints3D_samples"] = out["pred_joints3D_samples"]
+            if "joints2Dsamples-L2E" in metrics:
+                pred_dict["joints2Dsamples"] = out["pred_joints2Dsamples"]
+            if "silhouettesamples-IOU" in metrics:
+                pred_dict["silhouettessamples"] = out["pred_silhouettessamples"]
 
-        tracker.update_per_batch(pred_dict, target_dict, B)
+            tracker.update_per_batch(pred_dict, target_dict, B)
 
         if save_per_frame_metrics:
             fname_per_frame.append(np.asarray(batch["fname"]))

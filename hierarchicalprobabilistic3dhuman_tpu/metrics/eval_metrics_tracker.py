@@ -172,6 +172,44 @@ class EvalMetricsTracker:
 
         return None, per_frame_return
 
+    def update_per_batch_device(self, frame_metrics, num_input_samples):
+        """Accumulate from ON-DEVICE per-frame metrics (metric_sums.
+        make_eval_frame_metrics_fn) instead of fetched tensors: point metrics
+        arrive as (B,) per-frame mean errors, IOUs as per-frame confusion
+        counts, joints2Dsamples-L2E as scalar sums. Numerically identical to
+        update_per_batch (pinned by tests/test_eval_driver.py) but the host
+        fetch per batch is a few KB instead of the full vertex/sample/
+        silhouette tensors."""
+        self.total_samples += num_input_samples
+        for metric_type in self.metrics_to_track:
+            if metric_type == "silhouette-IOU":
+                for k in ("num_true_positives", "num_false_positives",
+                          "num_true_negatives", "num_false_negatives"):
+                    self.metric_sums[k] += float(np.sum(frame_metrics[k]))
+                self.per_frame_metrics[metric_type].append(
+                    np.asarray(frame_metrics[metric_type]))
+            elif metric_type == "silhouettesamples-IOU":
+                for k in ("num_samples_true_positives",
+                          "num_samples_false_positives",
+                          "num_samples_true_negatives",
+                          "num_samples_false_negatives"):
+                    self.metric_sums[k] += float(frame_metrics[k])
+            elif metric_type == "joints2Dsamples-L2E":
+                self.metric_sums[metric_type] += float(frame_metrics[metric_type])
+                self.metric_sums["num_vis_joints2Dsamples"] += \
+                    float(frame_metrics["num_vis_joints2Dsamples"])
+            else:
+                per_frame = np.asarray(frame_metrics[metric_type])
+                if "PVE" in metric_type:
+                    num_points = 6890
+                elif "MPJPE" in metric_type:
+                    num_points = 14
+                else:  # joints2D-L2E
+                    num_points = 17
+                self.metric_sums[metric_type] += \
+                    float(np.sum(per_frame)) * num_points
+                self.per_frame_metrics[metric_type].append(per_frame)
+
     def compute_final_metrics(self, frame_order=None):
         """frame_order: optional permutation applied to the per-frame metric
         arrays before saving (the eval driver iterates gender-sorted, then

@@ -63,6 +63,67 @@ def select_centremost_person_box(detections, image_hw, threshold=0.8):
     return np.array([H / 2.0, W / 2.0], np.float32), float(H), float(W)
 
 
+def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
+    """Build a per-image HRNet keypoint predictor with its device path jitted.
+
+    The detector + box selection stay host-side (detector outputs are host
+    data); everything from the 384x288 crop through the heatmap argmax is ONE
+    jitted function, re-traced only per distinct input image shape. On a
+    tunnel-attached TPU each *eager* jnp op pays a ~0.5-3 s dispatch RPC, so
+    the reference-style eager flow (crop, normalise, forward, argmax as
+    separate dispatches per image) is catastrophically slow there.
+
+    :return: predict(image (3, H, W) in [0,1], object_detect_fn=None,
+        object_detect_threshold=0.8) -> dict (see predict_hrnet)
+    """
+    import jax
+
+    in_w, in_h = hrnet_config.MODEL.IMAGE_SIZE  # (288, 384)
+    aspect = float(in_h) / float(in_w)
+    kp_rescale = in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0])
+    mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD)[:, None, None]
+
+    @jax.jit
+    def _device_stage(image, centre, height, width):
+        cropped = batch_crop_affine(
+            (in_w, in_h),
+            rgb=image[None],
+            bbox_centres=centre[None],
+            bbox_heights=height[None],
+            bbox_widths=width[None],
+            orig_scale_factor=bbox_scale_factor)["rgb"][0]  # (3, 384, 288)
+        heatmaps = hrnet_apply(((cropped - mean) / std)[None])
+        joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
+        return joints2D[0] * kp_rescale, confs[0], cropped
+
+    def predict(image, object_detect_fn=None, object_detect_threshold=0.8):
+        H, W = image.shape[1:]
+        detections = (object_detect_fn(image) if object_detect_fn is not None
+                      else None)
+        centre, height, width = select_centremost_person_box(
+            detections, (H, W), threshold=object_detect_threshold)
+        if height > width * aspect:
+            width = height / aspect
+        elif height < width * aspect:
+            height = width * aspect
+
+        joints2D, confs, cropped = _device_stage(
+            jnp.asarray(image), jnp.asarray(centre, jnp.float32),
+            jnp.asarray(height, jnp.float32), jnp.asarray(width, jnp.float32))
+        return {"joints2D": joints2D,
+                "joints2Dconfs": confs,
+                "cropped_image": cropped,
+                # bbox metadata stays host-side numpy (figure assembly uses it
+                # in Python control flow; device scalars would cost a tunnel
+                # round-trip each).
+                "bbox_centre": np.asarray(centre, np.float32),
+                "bbox_height": float(height),
+                "bbox_width": float(width)}
+
+    return predict
+
+
 def predict_hrnet(hrnet_apply,
                   hrnet_config,
                   image,
@@ -71,41 +132,16 @@ def predict_hrnet(hrnet_apply,
                   bbox_scale_factor=1.2):
     """Person bbox -> crop to 384x288 -> HRNet heatmaps -> 2D joints.
 
+    One-shot convenience wrapper around make_hrnet_predictor (which drivers
+    should prefer: it reuses one compiled device stage across images).
+
     :param hrnet_apply: callable (B, 3, 384, 288) normalised -> (B, 17, 96, 72)
     :param image: (3, H, W) jnp array, RGB in [0, 1]
     :param object_detect_fn: callable(image) -> detections dict, or None
     :return: dict joints2D (17, 2), joints2Dconfs (17,), cropped_image
         (3, 384, 288), bbox_centre (2,), bbox_height, bbox_width
     """
-    H, W = image.shape[1:]
-    detections = object_detect_fn(image) if object_detect_fn is not None else None
-    centre, height, width = select_centremost_person_box(
-        detections, (H, W), threshold=object_detect_threshold)
-
-    in_w, in_h = hrnet_config.MODEL.IMAGE_SIZE  # (288, 384)
-    aspect = float(in_h) / float(in_w)
-    if height > width * aspect:
-        width = height / aspect
-    elif height < width * aspect:
-        height = width * aspect
-
-    cropped = batch_crop_affine(
-        (in_w, in_h),
-        rgb=image[None],
-        bbox_centres=jnp.asarray(centre, jnp.float32)[None],
-        bbox_heights=jnp.asarray([height], jnp.float32),
-        bbox_widths=jnp.asarray([width], jnp.float32),
-        orig_scale_factor=bbox_scale_factor)["rgb"][0]  # (3, 384, 288)
-
-    normed = (cropped - jnp.asarray(IMAGENET_MEAN)[:, None, None]) \
-        / jnp.asarray(IMAGENET_STD)[:, None, None]
-    heatmaps = hrnet_apply(normed[None])  # (1, 17, 96, 72)
-    joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
-    joints2D = joints2D * (in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0]))
-
-    return {"joints2D": joints2D[0],
-            "joints2Dconfs": confs[0],
-            "cropped_image": cropped,
-            "bbox_centre": jnp.asarray(centre),
-            "bbox_height": jnp.asarray(height),
-            "bbox_width": jnp.asarray(width)}
+    predictor = make_hrnet_predictor(hrnet_apply, hrnet_config,
+                                     bbox_scale_factor=bbox_scale_factor)
+    return predictor(image, object_detect_fn=object_detect_fn,
+                     object_detect_threshold=object_detect_threshold)

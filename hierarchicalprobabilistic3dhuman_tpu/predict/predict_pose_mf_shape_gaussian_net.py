@@ -3,11 +3,17 @@
 Behavioural equivalent of reference predict/predict_poseMF_shapeGaussian_net.py:19-333,
 restructured TPU-first:
 
-  * all per-image compute (proxy rep, predictor, SMPL, sampling, uncertainty)
-    is one jitted function, compiled once and reused across images;
+  * ALL per-image device compute — 256-crop, Canny, heatmaps, predictor, SMPL
+    mode + T-pose, 50-sample uncertainty, jet vertex colours, the 6-view
+    batched render and the front composite — is ONE jitted function compiled
+    once and reused across images (plus one jitted HRNet stage and optional
+    jitted uncrop/samples stages). The reference issues dozens of sequential
+    GPU calls per image; on a tunnel-attached TPU each eager dispatch costs
+    ~0.5-3 s, so fusing per-image work into single programs is the difference
+    between ~1 s and ~10 min per image;
   * the reference's 6-7 sequential renderer calls per image become ONE batched
     render over all views (posed x4 rotations + reposed x2);
-  * host code only does image I/O, colormap lookup and figure assembly.
+  * host code only does image I/O and figure assembly.
 """
 
 import os
@@ -18,7 +24,8 @@ import cv2
 import jax
 import jax.numpy as jnp
 
-from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import predict_hrnet
+from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+    make_hrnet_predictor)
 from hierarchicalprobabilistic3dhuman_tpu.renderers import TexturedIUVRenderer
 from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
     batch_crop_affine, batch_uncrop_affine, batch_add_rgb_background)
@@ -39,6 +46,31 @@ def _jet_colormap(values, vmin=0.0, vmax=0.2):
     import matplotlib.pyplot as plt
     norm = plt.Normalize(vmin=vmin, vmax=vmax, clip=True)
     return plt.cm.jet(norm(np.asarray(values)))[:, :3].astype(np.float32)
+
+
+# matplotlib 'jet' segment anchors (piecewise-linear per channel).
+_JET_R = (np.array([0.0, 0.35, 0.66, 0.89, 1.0], np.float32),
+          np.array([0.0, 0.0, 1.0, 1.0, 0.5], np.float32))
+_JET_G = (np.array([0.0, 0.125, 0.375, 0.64, 0.91, 1.0], np.float32),
+          np.array([0.0, 0.0, 1.0, 1.0, 0.0, 0.0], np.float32))
+_JET_B = (np.array([0.0, 0.11, 0.34, 0.65, 1.0], np.float32),
+          np.array([0.5, 1.0, 1.0, 0.0, 0.0], np.float32))
+
+
+def jet_colormap(values, vmin=0.0, vmax=0.2):
+    """matplotlib-jet colours as a jit-safe jnp computation.
+
+    Piecewise-linear evaluation of the jet segment data; matches
+    matplotlib's 256-entry LUT to <1/255 per channel (the LUT quantises,
+    this interpolates continuously). Keeps the per-vertex colour map inside
+    the fused predict program instead of a host round-trip per image.
+
+    :param values: (...,) uncertainty values
+    :return: (..., 3) RGB in [0, 1]
+    """
+    t = jnp.clip((values - vmin) / (vmax - vmin), 0.0, 1.0)
+    return jnp.stack([jnp.interp(t, jnp.asarray(xs), jnp.asarray(ys))
+                      for xs, ys in (_JET_R, _JET_G, _JET_B)], axis=-1)
 
 
 def build_proxy_representation(cropped_rgb, cropped_joints2D, joints2Dconfs,
@@ -95,19 +127,10 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
     body_vis_renderer = TexturedIUVRenderer(img_wh=visualise_wh,
                                             projection_type="orthographic",
                                             render_rgb=True)
+    hrnet_predictor = make_hrnet_predictor(
+        hrnet_apply, hrnet_cfg,
+        bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)
 
-    # Jit the renderer once: verts/feats/cams vary, everything else is static.
-    @jax.jit
-    def _render(verts, feats, cam_t, scales, lights):
-        return body_vis_renderer(verts, cam_t=cam_t, orthographic_scale=scales,
-                                 lights_rgb_settings=lights, verts_features=feats)
-
-    # Jit the sampling-based uncertainty path (predictor apply is jitted by caller).
-    @partial(jax.jit, static_argnames=("num_samples", "use_mean_shape"))
-    def _uncertainty(key, U, S, V, mean, std, glob, num_samples, use_mean_shape):
-        return compute_vertex_uncertainties_by_sampling(
-            key, U, S, V, mean, std, glob, num_samples, smpl_model,
-            use_mean_shape=use_mean_shape, mesh=mesh)
     lights_rgb_settings = {
         "location": jnp.broadcast_to(jnp.asarray([0.0, -0.8, -2.0]), (6, 3)),
         "ambient_color": jnp.full((6, 3), 0.5),
@@ -120,38 +143,28 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
     y_axis = jnp.asarray([0.0, 1.0, 0.0])
     zero_t = jnp.zeros(3)
 
-    key = jax.random.PRNGKey(rng_seed)
     proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
+    in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE  # (288, 384)
+    wh = visualise_wh
 
-    fnames = sorted(f for f in os.listdir(image_dir)
-                    if f.endswith((".jpg", ".png")))
-    results = {}
-    for image_fname in fnames:
-        image_bgr = cv2.imread(os.path.join(image_dir, image_fname))
-        orig_image = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
-        image = jnp.asarray(orig_image.transpose(2, 0, 1), jnp.float32) / 255.0
-
-        # ---- proxy representation ----
-        hrnet_output = predict_hrnet(hrnet_apply, hrnet_cfg, image,
-                                     object_detect_fn=object_detect_fn,
-                                     object_detect_threshold=pose_shape_cfg.DATA.BBOX_THRESHOLD,
-                                     bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)
-        in_h = hrnet_output["cropped_image"].shape[1]
-        in_w = hrnet_output["cropped_image"].shape[2]
+    @jax.jit
+    def _core(key, hr_cropped, joints2D, confs):
+        """Everything between the HRNet output and the host figure assembly,
+        as one program: crop, proxy, predictor, SMPL, uncertainty sampling,
+        jet colours, 6-view render, front composite."""
         cropped = batch_crop_affine(
             (proxy_size, proxy_size),
-            joints2D=hrnet_output["joints2D"][None],
-            rgb=hrnet_output["cropped_image"][None],
+            joints2D=joints2D[None],
+            rgb=hr_cropped[None],
             bbox_centres=jnp.asarray([[in_h * 0.5, in_w * 0.5]]),
             bbox_heights=jnp.asarray([float(in_h)]),
             bbox_widths=jnp.asarray([float(in_h)]),
             orig_scale_factor=1.0)
         proxy = build_proxy_representation(cropped["rgb"], cropped["joints2D"],
-                                           hrnet_output["joints2Dconfs"][None],
-                                           edge_detect_model, pose_shape_cfg,
+                                           confs[None], edge_detect_model,
+                                           pose_shape_cfg,
                                            joints2Dvisib_threshold)
 
-        # ---- distribution prediction + mode SMPL ----
         pred = pose_shape_model_apply(proxy)
         if pred["glob"].shape[-1] == 3:
             glob_rotmats = batch_rodrigues(pred["glob"])
@@ -163,9 +176,12 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                                betas=pred["shape_mean"], pose2rot=False)
         verts_mode = aa_rotate_translate_points(smpl_mode["vertices"], x_axis,
                                                 np.pi, zero_t)
-        verts_rot90 = aa_rotate_translate_points(verts_mode, y_axis, -np.pi / 2, zero_t)
-        verts_rot180 = aa_rotate_translate_points(verts_rot90, y_axis, -np.pi / 2, zero_t)
-        verts_rot270 = aa_rotate_translate_points(verts_rot180, y_axis, -np.pi / 2, zero_t)
+        verts_rot90 = aa_rotate_translate_points(verts_mode, y_axis,
+                                                 -np.pi / 2, zero_t)
+        verts_rot180 = aa_rotate_translate_points(verts_rot90, y_axis,
+                                                  -np.pi / 2, zero_t)
+        verts_rot270 = aa_rotate_translate_points(verts_rot180, y_axis,
+                                                  -np.pi / 2, zero_t)
 
         reposed = smpl_model(betas=pred["shape_mean"])
         reposed_verts = aa_rotate_translate_points(reposed["vertices"], x_axis,
@@ -173,57 +189,135 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
         reposed_rot90 = aa_rotate_translate_points(reposed_verts, y_axis,
                                                    -np.pi / 2, zero_t)
 
-        # ---- per-vertex uncertainty via sampling ----
-        key, sub = jax.random.split(key)
-        per_vertex_3Dvar, verts_samples, joints_samples = _uncertainty(
-            sub, pred["pose_params_U"], pred["pose_params_S"],
-            pred["pose_params_V"], pred["shape_mean"],
-            jnp.exp(pred["shape_log_std"]), glob_rotmats,
-            num_uncertainty_samples, True)
+        per_vertex_3Dvar, verts_samples, joints_samples = \
+            compute_vertex_uncertainties_by_sampling(
+                key, pred["pose_params_U"], pred["pose_params_S"],
+                pred["pose_params_V"], pred["shape_mean"],
+                jnp.exp(pred["shape_log_std"]), glob_rotmats,
+                num_uncertainty_samples, smpl_model,
+                use_mean_shape=True, mesh=mesh)
+        vertex_colours = jet_colormap(per_vertex_3Dvar[0])[None]
 
-        vertex_colours = jnp.asarray(_jet_colormap(per_vertex_3Dvar[0]))[None]
-
-        # ---- batched visualisation render: 6 views in one call ----
         cam_wp = pred["cam"]
         pred_scale = jnp.broadcast_to(cam_wp[:, 0:1], (1, 2))
         pred_cam_t = jnp.concatenate([cam_wp[:, 1:],
                                       jnp.full((1, 1), 2.5)], axis=-1)
         all_verts = jnp.concatenate([verts_mode, verts_rot90, verts_rot180,
-                                     verts_rot270, reposed_verts, reposed_rot90], axis=0)
+                                     verts_rot270, reposed_verts,
+                                     reposed_rot90], axis=0)
         grey = jnp.full((1, 6890, 3), 0.7)
-        all_feats = jnp.concatenate([jnp.broadcast_to(vertex_colours, (4, 6890, 3)),
-                                     jnp.broadcast_to(grey, (2, 6890, 3))], axis=0)
-        all_cam_t = jnp.concatenate([pred_cam_t,
-                                     jnp.broadcast_to(fixed_cam_t, (5, 3))], axis=0)
-        all_scales = jnp.concatenate([pred_scale,
-                                      jnp.broadcast_to(fixed_scale, (5, 2))], axis=0)
-        vis = _render(all_verts, all_feats, all_cam_t, all_scales,
-                      lights_rgb_settings)
-        rgb_views = vis["rgb_images"]           # (6, wh, wh, 3)
+        all_feats = jnp.concatenate(
+            [jnp.broadcast_to(vertex_colours, (4, 6890, 3)),
+             jnp.broadcast_to(grey, (2, 6890, 3))], axis=0)
+        all_cam_t = jnp.concatenate(
+            [pred_cam_t, jnp.broadcast_to(fixed_cam_t, (5, 3))], axis=0)
+        all_scales = jnp.concatenate(
+            [pred_scale, jnp.broadcast_to(fixed_scale, (5, 2))], axis=0)
+        vis = body_vis_renderer(all_verts, cam_t=all_cam_t,
+                                orthographic_scale=all_scales,
+                                lights_rgb_settings=lights_rgb_settings,
+                                verts_features=all_feats)
+        rgb_views = vis["rgb_images"]            # (6, wh, wh, 3)
         iuv_views = vis["iuv_images"]
 
         # composite front view over the cropped input
-        scale_aff = jnp.asarray([[[visualise_wh / proxy_size, 0.0, 0.0],
-                                  [0.0, visualise_wh / proxy_size, 0.0]]])
-        cropped_vis = affine_resample(cropped["rgb"], scale_aff,
-                                      (visualise_wh, visualise_wh))
-        front = batch_add_rgb_background(cropped_vis,
-                                         jnp.transpose(rgb_views[0:1], (0, 3, 1, 2)),
-                                         jnp.round(iuv_views[0:1, :, :, 0]))
+        scale_aff = jnp.asarray([[[wh / proxy_size, 0.0, 0.0],
+                                  [0.0, wh / proxy_size, 0.0]]])
+        cropped_vis = affine_resample(cropped["rgb"], scale_aff, (wh, wh))
+        front = batch_add_rgb_background(
+            cropped_vis, jnp.transpose(rgb_views[0:1], (0, 3, 1, 2)),
+            jnp.round(iuv_views[0:1, :, :, 0]))
+
+        return {
+            "proxy": proxy,
+            "cropped_joints2D": cropped["joints2D"],
+            "pose_rotmats_mode": pred["pose_rotmats_mode"],
+            "shape_mean": pred["shape_mean"],
+            "cam": cam_wp,
+            "pred_cam_t": pred_cam_t,
+            "pred_scale": pred_scale,
+            "rgb_views": rgb_views,
+            "iuv_views": iuv_views,
+            "front": front,
+            "cropped_vis": cropped_vis,
+            "per_vertex_3Dvar": per_vertex_3Dvar,
+            "verts_samples": verts_samples,
+            "joints_samples": joints_samples,
+            "verts_mode": verts_mode,
+            "verts_rot90": verts_rot90,
+        }
+
+    @partial(jax.jit, static_argnames=("orig_w", "orig_h"))
+    def _uncrop_core(rgb0, iuv0, bbox_centre, bbox_whs, orig_w, orig_h):
+        return batch_uncrop_affine((wh, wh), (orig_w, orig_h), bbox_centre,
+                                   bbox_whs, bbox_whs, rgb=rgb0, iuv=iuv0)
+
+    @jax.jit
+    def _samples_core(verts_samples, joints_samples, proxy, cam_wp,
+                      verts_mode, verts_rot90, cropped_vis,
+                      pred_cam_t, pred_scale):
+        num_samples = 8
+        sorted_verts = joints2D_error_sorted_verts_sampling(
+            verts_samples[0], joints_samples[0], proxy[:, 1:],
+            cam_wp)[:num_samples]
+        sorted_verts = aa_rotate_translate_points(sorted_verts, x_axis, np.pi,
+                                                  zero_t)
+        rot90_samples = aa_rotate_translate_points(sorted_verts, y_axis,
+                                                   -np.pi / 2, zero_t)
+        sample_verts = jnp.concatenate([verts_mode, sorted_verts], axis=0)
+        sample_verts90 = jnp.concatenate([verts_rot90, rot90_samples], axis=0)
+        n = sample_verts.shape[0]
+        both = jnp.concatenate([sample_verts, sample_verts90], axis=0)
+        cam_ts = jnp.concatenate([jnp.broadcast_to(pred_cam_t, (n, 3)),
+                                  jnp.broadcast_to(fixed_cam_t, (n, 3))], axis=0)
+        scales = jnp.concatenate([jnp.broadcast_to(pred_scale, (n, 2)),
+                                  jnp.broadcast_to(fixed_scale, (n, 2))], axis=0)
+        lights2 = {k: jnp.broadcast_to(v[0:1], (2 * n, 3))
+                   for k, v in lights_rgb_settings.items()}
+        grey = jnp.full((1, 6890, 3), 0.7)
+        sample_vis = body_vis_renderer(
+            both, cam_t=cam_ts, orthographic_scale=scales,
+            lights_rgb_settings=lights2,
+            verts_features=jnp.broadcast_to(grey, (2 * n, 6890, 3)))
+        srgb = sample_vis["rgb_images"]
+        siuv = sample_vis["iuv_images"]
+        front_samples = batch_add_rgb_background(
+            jnp.broadcast_to(cropped_vis, (n, 3, wh, wh)),
+            jnp.transpose(srgb[:n], (0, 3, 1, 2)),
+            jnp.round(siuv[:n, :, :, 0]))
+        return front_samples, srgb[n:]
+
+    key = jax.random.PRNGKey(rng_seed)
+
+    fnames = sorted(f for f in os.listdir(image_dir)
+                    if f.endswith((".jpg", ".png")))
+    results = {}
+    for image_fname in fnames:
+        image_bgr = cv2.imread(os.path.join(image_dir, image_fname))
+        orig_image = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
+        image = jnp.asarray(orig_image.transpose(2, 0, 1), jnp.float32) / 255.0
+
+        hrnet_output = hrnet_predictor(
+            image, object_detect_fn=object_detect_fn,
+            object_detect_threshold=pose_shape_cfg.DATA.BBOX_THRESHOLD)
+
+        key, sub = jax.random.split(key)
+        out = _core(sub, hrnet_output["cropped_image"],
+                    hrnet_output["joints2D"], hrnet_output["joints2Dconfs"])
 
         # ---- figure assembly (host) ----
-        front_np = np.asarray(front[0]).transpose(1, 2, 0)
-        views_np = np.asarray(rgb_views)
-        cropped_np = np.asarray(cropped_vis[0]).transpose(1, 2, 0)
-        proxy_np = np.asarray(proxy[0].sum(axis=0))
+        front_np = np.asarray(out["front"][0]).transpose(1, 2, 0)
+        views_np = np.asarray(out["rgb_views"])
+        cropped_np = np.asarray(out["cropped_vis"][0]).transpose(1, 2, 0)
+        proxy_np = np.asarray(out["proxy"][0].sum(axis=0))
         proxy_np = np.stack([proxy_np] * 3, axis=-1)
-        proxy_np = cv2.resize(proxy_np, (visualise_wh, visualise_wh))
+        proxy_np = cv2.resize(proxy_np, (wh, wh))
         # cv2 >= 5 drawing requires uint8
         proxy_u8 = np.clip(proxy_np * 255, 0, 255).astype(np.uint8)
-        j2d_np = np.asarray(cropped["joints2D"][0])
+        j2d_np = np.asarray(out["cropped_joints2D"][0])
         confs_np = np.asarray(hrnet_output["joints2Dconfs"])
         for jn in range(j2d_np.shape[0]):
-            hv = j2d_np[jn] * visualise_wh / proxy_size
+            hv = j2d_np[jn] * wh / proxy_size
             cv2.circle(proxy_u8, (int(hv[0]), int(hv[1])), 3, (255, 0, 0), -1)
             cv2.putText(proxy_u8, str(jn), (int(hv[0]) + 4, int(hv[1]) + 4),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 0, 0), lineType=2)
@@ -231,7 +325,6 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                         cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 0, 0), lineType=2)
         proxy_np = proxy_u8.astype(np.float32) / 255.0
 
-        wh = visualise_wh
         fig = np.zeros((2 * wh, 4 * wh, 3), np.float32)
         fig[:wh, :wh] = cropped_np
         fig[wh:, :wh] = proxy_np
@@ -250,47 +343,27 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
             bbox_whs = float(max(hrnet_output["bbox_height"],
                                  hrnet_output["bbox_width"])) \
                 * pose_shape_cfg.DATA.BBOX_SCALE_FACTOR
-            uncropped = batch_uncrop_affine(
-                (wh, wh), (orig_image.shape[1], orig_image.shape[0]),
+            uncropped = _uncrop_core(
+                jnp.transpose(out["rgb_views"][0:1], (0, 3, 1, 2)),
+                jnp.transpose(out["iuv_views"][0:1], (0, 3, 1, 2)),
                 jnp.asarray(bbox_centres), jnp.asarray([bbox_whs]),
-                jnp.asarray([bbox_whs]),
-                rgb=jnp.transpose(rgb_views[0:1], (0, 3, 1, 2)),
-                iuv=jnp.transpose(iuv_views[0:1], (0, 3, 1, 2)))
+                orig_w=orig_image.shape[1], orig_h=orig_image.shape[0])
             unc_rgb = np.asarray(uncropped["rgb"][0]).transpose(1, 2, 0) * 255
             unc_seg = np.asarray(uncropped["iuv"][0, 0])
             bg = (unc_seg == 0)[:, :, None]
-            out = unc_rgb * ~bg + orig_image * bg
+            composite = unc_rgb * ~bg + orig_image * bg
             cv2.imwrite(os.path.splitext(vis_save_path)[0] + "_uncrop.png",
-                        np.clip(out[:, :, ::-1], 0, 255).astype(np.uint8))
+                        np.clip(composite[:, :, ::-1], 0, 255).astype(np.uint8))
 
         if visualise_samples:
-            num_samples = 8
-            sorted_verts = joints2D_error_sorted_verts_sampling(
-                verts_samples[0], joints_samples[0], proxy[:, 1:], cam_wp)[:num_samples]
-            sorted_verts = aa_rotate_translate_points(sorted_verts, x_axis, np.pi, zero_t)
-            rot90_samples = aa_rotate_translate_points(sorted_verts, y_axis,
-                                                       -np.pi / 2, zero_t)
-            sample_verts = jnp.concatenate([verts_mode, sorted_verts], axis=0)   # (9, ...)
-            sample_verts90 = jnp.concatenate([verts_rot90, rot90_samples], axis=0)
-            n = sample_verts.shape[0]
-            both = jnp.concatenate([sample_verts, sample_verts90], axis=0)       # (18, ...)
-            cam_ts = jnp.concatenate([jnp.broadcast_to(pred_cam_t, (n, 3)),
-                                      jnp.broadcast_to(fixed_cam_t, (n, 3))], axis=0)
-            scales = jnp.concatenate([jnp.broadcast_to(pred_scale, (n, 2)),
-                                      jnp.broadcast_to(fixed_scale, (n, 2))], axis=0)
-            lights2 = {k: jnp.broadcast_to(v[0:1], (2 * n, 3))
-                       for k, v in lights_rgb_settings.items()}
-            sample_vis = _render(both, jnp.broadcast_to(grey, (2 * n, 6890, 3)),
-                                 cam_ts, scales, lights2)
-            srgb = sample_vis["rgb_images"]
-            siuv = sample_vis["iuv_images"]
-            front_samples = batch_add_rgb_background(
-                jnp.broadcast_to(cropped_vis, (n, 3, wh, wh)),
-                jnp.transpose(srgb[:n], (0, 3, 1, 2)),
-                jnp.round(siuv[:n, :, :, 0]))
+            front_samples, rot_samples = _samples_core(
+                out["verts_samples"], out["joints_samples"], out["proxy"],
+                out["cam"], out["verts_mode"], out["verts_rot90"],
+                out["cropped_vis"], out["pred_cam_t"], out["pred_scale"])
             front_samples = np.asarray(front_samples).transpose(0, 2, 3, 1)
-            rot_samples = np.asarray(srgb[n:])
+            rot_samples = np.asarray(rot_samples)
 
+            n = front_samples.shape[0]
             rows, cols = 3, 6
             samples_fig = np.zeros((rows * wh, cols * wh, 3), np.float32)
             for i in range(n):
@@ -302,9 +375,9 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                         np.clip(samples_fig[:, :, ::-1] * 255, 0, 255).astype(np.uint8))
 
         results[image_fname] = {
-            "pose_mode": np.asarray(pred["pose_rotmats_mode"][0]),
-            "shape_mean": np.asarray(pred["shape_mean"][0]),
-            "cam": np.asarray(pred["cam"][0]),
-            "per_vertex_uncertainty": np.asarray(per_vertex_3Dvar[0]),
+            "pose_mode": np.asarray(out["pose_rotmats_mode"][0]),
+            "shape_mean": np.asarray(out["shape_mean"][0]),
+            "cam": np.asarray(out["cam"][0]),
+            "per_vertex_uncertainty": np.asarray(out["per_vertex_3Dvar"][0]),
         }
     return results

@@ -34,6 +34,8 @@ class _TinyEvalDataset:
         self.heatmaps = rng.rand(self.n, 17, D, D).astype(np.float32)
         self.poses = (rng.randn(self.n, 72) * 0.2).astype(np.float32)
         self.shapes = rng.randn(self.n, 10).astype(np.float32)
+        self.keypoints = (rng.rand(self.n, 17, 2) * D).astype(np.float32)
+        self.silhouettes = (rng.rand(self.n, D, D) > 0.6).astype(np.float32)
 
     def __len__(self):
         return self.n
@@ -41,6 +43,8 @@ class _TinyEvalDataset:
     def __getitem__(self, i):
         return {"image": self.images[i], "heatmaps": self.heatmaps[i],
                 "pose": self.poses[i], "shape": self.shapes[i],
+                "keypoints": self.keypoints[i],
+                "silhouette": self.silhouettes[i],
                 "fname": f"frame_{i:03d}.png", "gender": str(self.gender[i])}
 
 
@@ -58,15 +62,15 @@ def eval_setup():
     return cfg, apply_fn, smpls, edge
 
 
-def _run(eval_setup, tmpdir, sort_by_gender):
+def _run(eval_setup, tmpdir, sort_by_gender, metrics=METRICS, **kwargs):
     cfg, apply_fn, smpls, edge = eval_setup
     return evaluate_pose_mf_shape_gaussian_net(
         pose_shape_apply=apply_fn, pose_shape_cfg=cfg,
         smpl_neutral=smpls["n"], smpl_male=smpls["m"], smpl_female=smpls["f"],
-        edge_detect_model=edge, metrics=METRICS,
+        edge_detect_model=edge, metrics=metrics,
         eval_dataset=_TinyEvalDataset(), batch_size=2, num_workers=0,
         save_path=str(tmpdir), save_per_frame_metrics=True,
-        sort_by_gender=sort_by_gender)
+        sort_by_gender=sort_by_gender, **kwargs)
 
 
 def test_gender_sorted_eval_matches_mixed_path(eval_setup, tmp_path):
@@ -90,3 +94,32 @@ def test_gender_sorted_eval_matches_mixed_path(eval_setup, tmp_path):
             np.testing.assert_allclose(b, a, rtol=1e-5, err_msg=name)
     fnames = np.load(d_sorted / "fname_per_frame.npy")
     assert list(fnames) == [f"frame_{i:03d}.png" for i in range(6)]
+
+
+METRICS_FULL = ["PVE", "PVE-PA", "MPJPE-SC", "joints2D-L2E", "silhouette-IOU",
+                "PVE_samples_min", "joints2Dsamples-L2E",
+                "silhouettesamples-IOU"]
+
+
+def test_on_device_metrics_match_host_tracker(eval_setup, tmp_path):
+    """The on-device per-frame metric path (Procrustes/scale alignment,
+    sample minima, IOU counts inside the jitted step; host fetches a few KB)
+    reproduces the host-numpy tracker across every metric family."""
+    d_dev = tmp_path / "dev"
+    d_host = tmp_path / "host"
+    d_dev.mkdir(), d_host.mkdir()
+    m_dev = _run(eval_setup, d_dev, sort_by_gender=False,
+                 metrics=METRICS_FULL, on_device_metrics=True,
+                 num_samples_for_metrics=2)
+    m_host = _run(eval_setup, d_host, sort_by_gender=False,
+                  metrics=METRICS_FULL, on_device_metrics=False,
+                  num_samples_for_metrics=2)
+
+    for k in METRICS_FULL:
+        np.testing.assert_allclose(m_dev[k], m_host[k], rtol=2e-4, err_msg=k)
+    for m in METRICS_FULL:
+        if "samples" in m:
+            continue  # tracker only dumps non-sample per-frame arrays
+        a = np.load(d_host / f"{m}_per_frame.npy")
+        b = np.load(d_dev / f"{m}_per_frame.npy")
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6, err_msg=m)

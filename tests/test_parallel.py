@@ -134,7 +134,9 @@ def test_sharded_eval_step_matches_single_device():
             jnp.asarray(RNG.rand(B, 17, D, D).astype(np.float32)),
             jnp.asarray((RNG.randn(B, 72) * 0.2).astype(np.float32)),
             jnp.asarray(RNG.randn(B, 10).astype(np.float32)),
-            jnp.asarray(RNG.randint(0, 3, (B,)).astype(np.int32)))
+            jnp.asarray(RNG.randint(0, 3, (B,)).astype(np.int32)),
+            jnp.zeros((B, 17, 2)),   # target joints2D (unused metric here)
+            jnp.zeros((B, D, D)))    # target silhouette (unused metric here)
 
     kwargs = dict(edge_detect_model=edge, pose_shape_cfg=cfg, num_samples=N,
                   compute_joints2d=True, compute_silhouettes=False,
