@@ -20,12 +20,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    # Optional ablation overrides: python bench.py [B] [NUM_SAMPLES]
+    # (driver runs with no args -> reference configuration).
+    argv_b = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    argv_n = int(sys.argv[2]) if len(sys.argv) > 2 else None
     import jax
     import jax.numpy as jnp
 
@@ -51,8 +56,8 @@ def main():
     from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
         rot6d_to_rotmat)
 
-    B = 16              # images per step
-    NUM_SAMPLES = 100   # SMPL samples per image
+    B = argv_b or 16              # images per step
+    NUM_SAMPLES = argv_n or 100   # SMPL samples per image
     IMG = 512           # input image size (reference demo crops are 512x512)
 
     pose_shape_cfg = get_pose_shape_cfg_defaults()

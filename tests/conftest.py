@@ -24,3 +24,6 @@ jax.config.update("jax_platforms", "cpu")
 # expensive optimisation passes cuts the suite's CPU compile time ~2-3x
 # (the full fused train-step jits dominated the round-1 suite timeout).
 jax.config.update("jax_disable_most_optimizations", True)
+# (A persistent XLA compilation cache was tried here and reverted: the
+# suite's wall-clock is dominated by TRACING/LOWERING, which the cache
+# cannot skip — a fully-primed 600 MB cache saved <7% wall.)

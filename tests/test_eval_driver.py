@@ -101,6 +101,7 @@ METRICS_FULL = ["PVE", "PVE-PA", "MPJPE-SC", "joints2D-L2E", "silhouette-IOU",
                 "silhouettesamples-IOU"]
 
 
+@pytest.mark.slow
 def test_on_device_metrics_match_host_tracker(eval_setup, tmp_path):
     """The on-device per-frame metric path (Procrustes/scale alignment,
     sample minima, IOU counts inside the jitted step; host fetches a few KB)

@@ -9,6 +9,7 @@ import numpy as np
 import cv2
 import jax
 import jax.numpy as jnp
+import pytest
 
 from hierarchicalprobabilistic3dhuman_tpu.configs import (
     get_pose_shape_cfg_defaults, get_pose2d_hrnet_cfg_defaults)
@@ -32,6 +33,7 @@ def test_jet_colormap_matches_matplotlib():
     assert np.abs(ours - ref).max() < 5.0 / 255
 
 
+@pytest.mark.slow
 def test_predict_driver_end_to_end(tmp_path):
     D = 32
     WH = 64
