@@ -80,7 +80,10 @@ class PoseMFShapeGaussianLoss:
         pred_j2d = pred_dict["joints2D"]                                  # (B, S, K, 2)
         vis = target_dict["joints2D_vis"].astype(pred_j2d.dtype)          # (B, K)
         sq = (pred_j2d - target_j2d[:, None]) ** 2                        # (B, S, K, 2)
-        masked = sq * vis[:, None, :, None]
+        # where-masking, not multiplication: an invisible joint's target may
+        # be degenerate (huge off-frame projection), and NaN/inf * 0 = NaN
+        # would leak into the loss.
+        masked = jnp.where(vis[:, None, :, None] > 0, sq, 0.0)
         if reduction == "mean":
             denom = jnp.maximum(jnp.sum(vis) * pred_j2d.shape[1] * 2, 1.0)
             joints2D_loss = jnp.sum(masked) / denom

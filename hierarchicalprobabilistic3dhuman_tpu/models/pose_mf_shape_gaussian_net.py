@@ -24,6 +24,7 @@ restores exact parity.
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -89,6 +90,23 @@ class PoseMFShapeGaussianNet(nn.Module):
             input_feats = encoder(inputs, train=train)
         B = input_feats.shape[0]
 
+        # The head runs with FULL f32 matmul precision. TPU backends default
+        # f32 matmuls to bf16 passes; bf16-rounded F matrices collide singular
+        # values, and the SVD differential's 1/(s_i^2 - s_j^2) terms then blow
+        # up — measured: stage-2 training NaNs at ~iter 12 under the default,
+        # stable under f32 (benchmarks/train_step.py). The head's Dense layers
+        # are tiny next to the encoder convs (which stay fast/bf16), so this
+        # costs nothing.
+        with jax.default_matmul_precision("highest"):
+            return self._head(input_feats, B, parents_dict, num_joints)
+
+    def _head(self, input_feats, B, parents_dict, num_joints):
+        """Head body; called from the compact __call__ (all submodules carry
+        explicit names, so the helper shares __call__'s parameter scope)."""
+        if self.num_resnet_layers == 18:
+            fc1_dim = 512
+        else:
+            fc1_dim = 1024
         x = nn.elu(nn.Dense(fc1_dim, name="fc1")(input_feats))
 
         shape_params = nn.Dense(self.num_smpl_betas * 2, name="fc_shape")(x)

@@ -102,15 +102,20 @@ def pose_matrix_fisher_sampling(key, pose_U, pose_S, pose_V, num_samples,
     :return: (B, N, J, 3, 3) rotation matrix samples
     """
     B, J = pose_U.shape[:2]
-    U_proper, S_proper, V_proper = proper_svd_from_raw(pose_U, pose_S, pose_V)
-    A = bingham_A_from_S_proper(S_proper)  # (B, J, 4)
+    # Full f32 matmul precision: TPU backends default f32 matmuls to bf16
+    # passes, and bf16-rounded rotation products degrade the reparameterised
+    # gradient path (these 3x3 products are negligible FLOPs anyway).
+    with jax.default_matmul_precision("highest"):
+        U_proper, S_proper, V_proper = proper_svd_from_raw(pose_U, pose_S, pose_V)
+        A = bingham_A_from_S_proper(S_proper)  # (B, J, 4)
 
-    quat_samples, _ = bingham_sampling(key, A, num_samples, b=b,
-                                       oversampling_ratio=oversampling_ratio)
-    # (B, J, N, 4) -> (B, N, J, 3, 3)
-    R_tilde = quat_to_rotmat(quat_samples)              # (B, J, N, 3, 3)
-    R_tilde = jnp.swapaxes(R_tilde, 1, 2)               # (B, N, J, 3, 3)
-    R = U_proper[:, None] @ R_tilde @ jnp.swapaxes(V_proper, -1, -2)[:, None]
+        quat_samples, _ = bingham_sampling(key, A, num_samples, b=b,
+                                           oversampling_ratio=oversampling_ratio)
+        # (B, J, N, 4) -> (B, N, J, 3, 3)
+        R_tilde = quat_to_rotmat(quat_samples)              # (B, J, N, 3, 3)
+        R_tilde = jnp.swapaxes(R_tilde, 1, 2)               # (B, N, J, 3, 3)
+        R = (U_proper[:, None] @ R_tilde
+             @ jnp.swapaxes(V_proper, -1, -2)[:, None])
     return R
 
 

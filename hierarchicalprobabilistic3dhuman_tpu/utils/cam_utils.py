@@ -44,7 +44,14 @@ def perspective_project(points, rotation, translation, cam_K=None,
     if rotation is not None:
         points = jnp.einsum("bij,bkj->bki", rotation, points)
     points = points + translation[:, None, :]
-    projected = points / points[..., 2:3]
+    # Sign-preserving depth clamp: a point ON the camera plane (z == 0) would
+    # divide to NaN and poison everything downstream (synthetic bodies with
+    # extreme shape samples can reach the camera; such joints project huge,
+    # fail the visibility check and get masked — NaN would not). The clamp
+    # never engages for sanely-visible points.
+    z = points[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-2, jnp.where(z < 0, -1e-2, 1e-2), z)
+    projected = points / z_safe
     projected = jnp.einsum("bij,bkj->bki", cam_K, projected)
     return projected[..., :2]
 

@@ -184,6 +184,13 @@ def batch_crop_affine(output_wh,
     bbox_centres = jnp.asarray(bbox_centres, jnp.float32)
     bbox_heights = jnp.asarray(bbox_heights, jnp.float32)
     bbox_widths = jnp.asarray(bbox_widths, jnp.float32)
+    # Degenerate-box guard: a (near-)empty mask or single-pixel body gives a
+    # zero-size bbox, whose crop affine divides to inf and whose joint
+    # transform then produces inf + (-inf) = NaN (seen poisoning training
+    # when random_extreme_crop empties an already-marginal synthetic body).
+    # A few-pixel floor never engages for real bodies.
+    bbox_heights = jnp.maximum(bbox_heights, 2.0)
+    bbox_widths = jnp.maximum(bbox_widths, 2.0)
 
     B = bbox_centres.shape[0]
     bbox_heights, bbox_widths = _fix_aspect_ratio(bbox_heights, bbox_widths,

@@ -104,6 +104,50 @@ def test_visible_joint_masking():
     np.testing.assert_allclose(after, base, rtol=1e-5)
 
 
+def test_degenerate_camera_plane_joint_stays_finite():
+    """A body point ON the camera plane (z == 0 after translation) must not
+    poison training: perspective_project clamps the depth sign-preservingly
+    (unguarded divide -> NaN targets -> NaN grads; seen at train iter 12 on
+    TPU where bf16 LBS rounding pushed a synthetic joint across z = 0), the
+    off-frame projection fails the visibility check, and the where-masked
+    loss (and its gradient) ignores it."""
+    from hierarchicalprobabilistic3dhuman_tpu.utils.cam_utils import (
+        perspective_project)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.joints2d_utils import (
+        check_joints2d_visibility)
+
+    pts = jnp.asarray([[[0.3, 0.1, -2.5],     # on the camera plane after +t
+                        [0.5, 0.2, -2.501],   # just behind it
+                        [0.1, -0.2, 0.4]]])   # sanely in front
+    t = jnp.asarray([[0.0, 0.0, 2.5]])
+    j2d = perspective_project(pts, None, t, focal_length=300.0, img_wh=256)
+    assert np.all(np.isfinite(np.asarray(j2d)))
+
+    vis = check_joints2d_visibility(j2d, 256)
+    assert not bool(vis[0, 0]) and not bool(vis[0, 1])  # degenerate -> masked
+    assert bool(vis[0, 2])
+
+    # The masked loss AND its gradient stay finite with the degenerate target.
+    pred, target = _make_loss_dicts()
+    tj = np.asarray(target["joints2D"]).copy()
+    tj[:, 0] = 1e9                      # degenerate off-frame target joint
+    tvis = np.asarray(target["joints2D_vis"]).copy()
+    tvis[:, 0] = False
+    target2 = dict(target)
+    target2["joints2D"] = jnp.asarray(tj)
+    target2["joints2D_vis"] = jnp.asarray(tvis)
+    loss_obj = PoseMFShapeGaussianLoss(CFG.LOSS.STAGE1, 256)
+
+    def total(p_j2d):
+        p = dict(pred)
+        p["joints2D"] = p_j2d
+        return loss_obj(target2, p)[0]
+
+    val, grad = jax.value_and_grad(total)(pred["joints2D"])
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from hierarchicalprobabilistic3dhuman_tpu.runtime.checkpointing import (
         save_training_checkpoint, load_training_checkpoint,
