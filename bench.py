@@ -31,6 +31,19 @@ def main():
     # (driver runs with no args -> reference configuration).
     argv_b = int(sys.argv[1]) if len(sys.argv) > 1 else None
     argv_n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    import os
+    import jax
+    # Persistent compile cache: the fused pipeline's one-time compile is
+    # ~10 min on the TPU service; repeat runs load the serialised executable
+    # in seconds. Cache keys include backend/compiler versions, so a
+    # mismatched environment just recompiles (no wrong-executable risk).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax
     import jax.numpy as jnp
 
