@@ -157,7 +157,13 @@ def main():
     @jax.jit
     def bench_loop(key, rgb512, hrnet_vars, variables):
         def body(i, carry):
-            out = pipeline(jax.random.fold_in(key, i), rgb512, hrnet_vars,
+            # i-dependent input perturbation: the RNG key alone only varies
+            # the sampling stage, and XLA hoists the loop-invariant
+            # HRNet/crop/Canny/predictor chain OUT of the loop — the loop
+            # would then measure a fraction of the pipeline. The epsilon is
+            # numerically invisible but defeats loop-invariant code motion.
+            rgb_i = rgb512 * (1.0 + jnp.float32(i) * jnp.float32(1e-9))
+            out = pipeline(jax.random.fold_in(key, i), rgb_i, hrnet_vars,
                            variables)
             return carry + out[0]
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))

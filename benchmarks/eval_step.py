@@ -72,8 +72,13 @@ def main():
     @jax.jit
     def loop(key, image, heatmaps, pose, shape):
         def body(i, acc):
-            out = raw_step(jax.random.fold_in(key, i), image, heatmaps, pose,
-                           shape, gender, zeros_j2d, zeros_sil)
+            # i-dependent perturbation of every input: without it XLA hoists
+            # the loop-invariant forward/targets out of the loop and the
+            # number measures only the sampling slice.
+            eps = 1.0 + jnp.float32(i) * jnp.float32(1e-9)
+            out = raw_step(jax.random.fold_in(key, i), image * eps,
+                           heatmaps * eps, pose * eps, shape * eps, gender,
+                           zeros_j2d, zeros_sil)
             return acc + out["frame_metrics"]["PVE-PA_samples_min"].sum()
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 

@@ -108,6 +108,46 @@ def test_select_centremost_person_box():
     assert h == 120.0 and w == 80.0
 
 
+def test_make_hrnet_predictor_jitted_stage():
+    """The factory's jitted device stage: whole-image fallback box, aspect
+    fix, 384x288 crop, argmax keypoints rescaled x4 — and the predictor is
+    reusable across images without retracing (one compiled stage)."""
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+        make_hrnet_predictor)
+
+    cfg = get_pose2d_hrnet_cfg_defaults()
+    hm_w, hm_h = cfg.MODEL.HEATMAP_SIZE
+
+    calls = []
+
+    def hrnet_stub(x):
+        calls.append(x.shape)
+        hm = jnp.zeros((x.shape[0], 17, hm_h, hm_w))
+        return hm.at[:, :, 12, 9].set(0.8)
+
+    predictor = make_hrnet_predictor(hrnet_stub, cfg)
+    rng = np.random.RandomState(5)
+    for _ in range(2):
+        image = jnp.asarray(rng.rand(3, 100, 80).astype(np.float32))
+        out = predictor(image)
+        assert out["cropped_image"].shape == (3, 384, 288)
+        # heatmap (9, 12) -> input coords x4
+        np.testing.assert_allclose(np.asarray(out["joints2D"]),
+                                   np.tile([36.0, 48.0], (17, 1)))
+        np.testing.assert_allclose(np.asarray(out["joints2Dconfs"]), 0.8,
+                                   rtol=1e-6)
+        # whole-image fallback box, aspect-fixed to 384:288
+        assert isinstance(out["bbox_height"], float)
+        np.testing.assert_allclose(out["bbox_centre"], [50.0, 40.0])
+        np.testing.assert_allclose(out["bbox_height"] / out["bbox_width"],
+                                   384.0 / 288.0, rtol=1e-6)
+    # The stub runs at TRACE time only: one trace for both images proves the
+    # compiled device stage is reused across the per-image loop.
+    assert calls == [(1, 3, 384, 288)]
+
+
 def test_kp_locations_from_heatmaps():
     from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
         get_kp_locations_confs_from_heatmaps)
