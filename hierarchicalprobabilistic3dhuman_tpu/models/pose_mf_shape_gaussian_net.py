@@ -56,6 +56,25 @@ _INIT_GLOB = np.array([1.0, 0.0, 0.0, 1.0, 0.0, 0.0], dtype=np.float32)
 _INIT_CAM = np.array([0.9, 0.0, 0.0], dtype=np.float32)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact leaf names/initialisers.
+
+    Declares (kernel, bias) without applying them, so the depth-grouped head
+    can STACK same-depth joints' kernels into one batched matmul while the
+    parameter tree (params["fc_pose_{j}_{l}"]["kernel"/"bias"]) — and the
+    RNG path that seeds it — stays bit-identical to the per-joint nn.Dense
+    formulation (torch converter and checkpoints unaffected)."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.features_in, self.features_out))
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 class PoseMFShapeGaussianNet(nn.Module):
     """Input (B, C, D, D) proxy representation -> distribution parameters."""
     smpl_parents: Sequence[int] = tuple(int(p) for p in SMPL_PARENTS)
@@ -122,34 +141,74 @@ class PoseMFShapeGaussianNet(nn.Module):
             jnp.concatenate([input_feats, shape_params, glob, cam], axis=1)))
 
         eye = jnp.eye(3, dtype=embed.dtype)
-        F_list, U_list, S_list, V_list = [], [], [], []
-        Up_list, Sp_list, mode_list = [], [], []
-        for joint in range(num_joints):
-            parents = parents_dict[joint]
-            if parents:
-                anc_Up = jnp.concatenate([Up_list[p].reshape(B, 9) for p in parents], axis=1)
-                anc_Sp = jnp.concatenate([Sp_list[p] for p in parents], axis=1)
-                anc_mode = jnp.concatenate([mode_list[p].reshape(B, 9) for p in parents], axis=1)
-                mlp_in = jnp.concatenate([embed, anc_Up, anc_Sp, anc_mode], axis=1)
-            else:
-                mlp_in = embed
+        hidden = self.embed_dim // 2
 
-            h = nn.elu(nn.Dense(self.embed_dim // 2, name=f"fc_pose_{joint}_0")(mlp_in))
-            joint_F = nn.Dense(9, name=f"fc_pose_{joint}_1")(h).reshape(B, 3, 3)
+        # Depth-grouped evaluation of the hierarchical head. The reference
+        # (and the round-1 build) loops the 23 joints SEQUENTIALLY; but a
+        # joint only needs its ANCESTORS' outputs, and every joint at tree
+        # depth d has exactly d ancestors (so identical MLP input width).
+        # Grouping by depth turns 23 serial {2 matmuls + SVD} chains into
+        # max_depth (~7) batched stages — each group's per-joint kernels
+        # stack into ONE einsum over a (B, G, .) batch. Identical math and
+        # identical parameter tree to the serial form (see _DenseParams).
+        depth_groups = {}
+        for joint in range(num_joints):
+            depth_groups.setdefault(len(parents_dict[joint]), []).append(joint)
+
+        F_j, U_j, S_j, V_j, Up_j, Sp_j, mode_j = ({} for _ in range(7))
+        for depth in sorted(depth_groups):
+            group = depth_groups[depth]
+            d_in = self.embed_dim + 21 * depth
+            ins = []
+            for joint in group:
+                parents = parents_dict[joint]
+                if parents:
+                    anc_Up = jnp.concatenate(
+                        [Up_j[p].reshape(B, 9) for p in parents], axis=1)
+                    anc_Sp = jnp.concatenate([Sp_j[p] for p in parents], axis=1)
+                    anc_mode = jnp.concatenate(
+                        [mode_j[p].reshape(B, 9) for p in parents], axis=1)
+                    ins.append(jnp.concatenate([embed, anc_Up, anc_Sp, anc_mode],
+                                               axis=1))
+                else:
+                    ins.append(embed)
+            x = jnp.stack(ins, axis=1)                       # (B, G, d_in)
+
+            w0, b0, w1, b1 = [], [], [], []
+            for joint in group:
+                k, b = _DenseParams(d_in, hidden,
+                                    name=f"fc_pose_{joint}_0")()
+                w0.append(k), b0.append(b)
+                k, b = _DenseParams(hidden, 9, name=f"fc_pose_{joint}_1")()
+                w1.append(k), b1.append(b)
+            W0 = jnp.stack(w0)                               # (G, d_in, H)
+            W1 = jnp.stack(w1)                               # (G, H, 9)
+            h = nn.elu(jnp.einsum("bgi,gih->bgh", x, W0) + jnp.stack(b0))
+            group_F = (jnp.einsum("bgh,gho->bgo", h, W1) + jnp.stack(b1)) \
+                .reshape(B, len(group), 3, 3)
             if self.delta_i:
-                joint_F = joint_F + self.delta_i_weight * eye
+                group_F = group_F + self.delta_i_weight * eye
 
             if self.svd_impl == "lapack":
-                svd = proper_svd3x3_lapack(joint_F)
+                svd = proper_svd3x3_lapack(group_F)
             else:
-                svd = proper_svd3x3(joint_F, n_sweeps=self.svd_sweeps)
-            F_list.append(joint_F)
-            U_list.append(svd["U"])
-            S_list.append(svd["S"])
-            V_list.append(svd["V"])
-            Up_list.append(svd["U_proper"])
-            Sp_list.append(svd["S_proper"])
-            mode_list.append(svd["mode"])
+                svd = proper_svd3x3(group_F, n_sweeps=self.svd_sweeps)
+            for gi, joint in enumerate(group):
+                F_j[joint] = group_F[:, gi]
+                U_j[joint] = svd["U"][:, gi]
+                S_j[joint] = svd["S"][:, gi]
+                V_j[joint] = svd["V"][:, gi]
+                Up_j[joint] = svd["U_proper"][:, gi]
+                Sp_j[joint] = svd["S_proper"][:, gi]
+                mode_j[joint] = svd["mode"][:, gi]
+
+        F_list = [F_j[j] for j in range(num_joints)]
+        U_list = [U_j[j] for j in range(num_joints)]
+        S_list = [S_j[j] for j in range(num_joints)]
+        V_list = [V_j[j] for j in range(num_joints)]
+        Up_list = [Up_j[j] for j in range(num_joints)]
+        Sp_list = [Sp_j[j] for j in range(num_joints)]
+        mode_list = [mode_j[j] for j in range(num_joints)]
 
         out = {
             "pose_params_F": jnp.stack(F_list, axis=1),
