@@ -8,8 +8,11 @@ rebuilt as a flax module:
   * glob/cam heads predict DELTAS against registered initial estimates
     (identity rot6d, [0.9, 0, 0] weak-perspective cam);
   * hierarchical pose head: one 2-layer MLP per body joint, consuming the
-    embedding plus ALL ancestors' (U_proper, S_proper, mode rotation) — a
-    statically-unrolled scan over the kinematic tree (depth <= 7);
+    embedding plus ALL ancestors' (U_proper, S_proper, mode rotation) —
+    evaluated DEPTH-GROUPED: all joints at the same kinematic depth share an
+    input width, so each depth becomes one batched einsum + one batched SVD
+    (~7 sequential stages instead of 23; identical math and parameter tree
+    to the per-joint form);
   * per-joint 3x3 SVD via the batched Jacobi kernel (ops.svd3) — on-device,
     no CPU round-trips (the reference hops GPU->CPU->GPU per joint :137-141).
 
