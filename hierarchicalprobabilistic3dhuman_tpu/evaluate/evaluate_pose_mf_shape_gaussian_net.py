@@ -142,14 +142,21 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
             smpl_target = (smpl_neutral, smpl_male, smpl_female)[static_gender]
             target_verts, target_joints, target_reposed = gendered(smpl_target)
         else:
-            vm, jm, rm = gendered(smpl_male)
-            vf, jf, rf = gendered(smpl_female)
-            vn, jn, rn = gendered(smpl_neutral)
-            is_m = (gender_code == 1)[:, None, None]
-            is_f = (gender_code == 2)[:, None, None]
-            target_verts = jnp.where(is_m, vm, jnp.where(is_f, vf, vn))
-            target_joints = jnp.where(is_m, jm, jnp.where(is_f, jf, jn))
-            target_reposed = jnp.where(is_m, rm, jnp.where(is_f, rf, rn))
+            # Mixed-gender batch: ONE forward with per-example gendered
+            # params (exact one-hot mixing of the linear param contractions)
+            # instead of three full gendered forwards + select.
+            from hierarchicalprobabilistic3dhuman_tpu.models.smpl import (
+                smpl_forward_mixed)
+            plist = [smpl_neutral.params, smpl_male.params, smpl_female.params]
+            posed = smpl_forward_mixed(plist, gender_code,
+                                       body_pose=full_rotmats[:, 1:],
+                                       global_orient=full_rotmats[:, 0:1],
+                                       betas=target_shape, pose2rot=False)
+            reposed = smpl_forward_mixed(plist, gender_code,
+                                         betas=target_shape)
+            target_verts = posed["vertices"]
+            target_joints = posed["joints"]
+            target_reposed = reposed["vertices"]
         out["target_verts"] = target_verts
         out["target_reposed_verts"] = target_reposed
         out["target_joints3D"] = target_joints[:, h36m_map][:, j14_map]
@@ -308,8 +315,13 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
     dataset_codes = _dataset_gender_codes(eval_dataset) if sort_by_gender else None
     sorted_pass = dataset_codes is not None and len(np.unique(dataset_codes)) > 1
     if sorted_pass:
+        # drop_last=True drops the DATASET-ORDER tail; gender-sorting must
+        # not change WHICH frames are evaluated, only their order — so
+        # truncate to a batch multiple in dataset order first, then sort.
+        n_keep = (len(eval_dataset) // batch_size) * batch_size
+        codes_kept = dataset_codes[:n_keep]
         eval_dataset = _ReorderedDataset(eval_dataset,
-                                         np.argsort(dataset_codes, kind="stable"))
+                                         np.argsort(codes_kept, kind="stable"))
     loader = DataLoader(eval_dataset, batch_size=batch_size, shuffle=False,
                         drop_last=True, num_workers=num_workers)
 
@@ -361,6 +373,18 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
         step = get_step(int(uniq[0]) if len(uniq) == 1 else None)
         key, sub = jax.random.split(key)
         D = pose_shape_cfg.DATA.PROXY_REP_SIZE
+        # A requested joints2D/silhouette metric with no ground truth in the
+        # batch must fail loudly (the host-metric path raises KeyError in the
+        # same situation); zero-filling is only a placeholder for metric sets
+        # that never read these tensors.
+        if any("joints2D" in m for m in metrics) and "keypoints" not in batch:
+            raise KeyError(
+                "joints2D metrics requested but the dataset batch has no "
+                "'keypoints' ground truth")
+        if any("silhouette" in m for m in metrics) and "silhouette" not in batch:
+            raise KeyError(
+                "silhouette metrics requested but the dataset batch has no "
+                "'silhouette' ground truth")
         target_j2d = (jnp.asarray(batch["keypoints"], jnp.float32)
                       if "keypoints" in batch else jnp.zeros((B, 17, 2)))
         target_sil = (jnp.asarray(batch["silhouette"], jnp.float32)

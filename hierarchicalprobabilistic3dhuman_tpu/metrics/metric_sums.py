@@ -15,6 +15,7 @@ Training sums feed TrainingLossesAndMetricsTracker.update_per_batch_sums;
 eval per-frame values feed EvalMetricsTracker.update_per_batch_device.
 """
 
+import jax
 import jax.numpy as jnp
 
 from hierarchicalprobabilistic3dhuman_tpu.utils.eval_utils import (
@@ -63,6 +64,19 @@ def make_eval_frame_metrics_fn(metrics_to_track):
     track = list(metrics_to_track)
 
     def f(pred, target):
+        # Alignment (Procrustes cross-covariance einsums + Jacobi SVD) must
+        # not run under the TPU default bf16 matmul passes: the reported
+        # PVE-PA / *-SC numbers are benchmark artifacts and the FLOPs here
+        # are negligible next to SMPL/render work. CPU tests run f32 either
+        # way, so only this guard keeps TPU numerically identical to the
+        # host-numpy tracker path.
+        with jax.default_matmul_precision("highest"):
+            return _eval_frame_metrics(pred, target, track)
+
+    return f
+
+
+def _eval_frame_metrics(pred, target, track):
         out = {}
 
         for m in track:
@@ -129,8 +143,6 @@ def make_eval_frame_metrics_fn(metrics_to_track):
                     jnp.sum(~ps & ts).astype(jnp.float32)
         return out
 
-    return f
-
 
 def make_metric_sums_fn(metrics_to_track, img_wh):
     """Build a jit-safe fn: (pred, target, pred_reposed, target_reposed) ->
@@ -142,6 +154,17 @@ def make_metric_sums_fn(metrics_to_track, img_wh):
     track = list(metrics_to_track)
 
     def f(pred, target, pred_reposed_vertices, target_reposed_vertices):
+        # Same matmul-precision guard as make_eval_frame_metrics_fn: the
+        # SC/PA alignment math must not run in bf16 passes on TPU.
+        with jax.default_matmul_precision("highest"):
+            return _metric_sums(pred, target, pred_reposed_vertices,
+                                target_reposed_vertices, track, img_wh)
+
+    return f
+
+
+def _metric_sums(pred, target, pred_reposed_vertices,
+                 target_reposed_vertices, track, img_wh):
         sums = {}
 
         def l2sum(a, b):
@@ -186,5 +209,3 @@ def make_metric_sums_fn(metrics_to_track, img_wh):
             sums["num_visib_joints2Dsamples"] = (
                 jnp.sum(vis) * n_samples).astype(jnp.float32)
         return sums
-
-    return f

@@ -345,6 +345,119 @@ def vertices2joints(J_regressor, vertices):
     return jnp.einsum("jv,bvc->bjc", J_regressor, vertices)
 
 
+def lbs_mixed(params_list, gender_onehot, betas, full_pose_rotmats):
+    """SMPL forward where each example uses its OWN gendered model params.
+
+    Exact per-example gendered LBS without 3x full forwards and without
+    gathering giant per-example parameter tensors: every place the gendered
+    parameters enter the computation is LINEAR in them, so mixing the G
+    per-gender contraction results (or the small parameter tensors
+    themselves) with the (B, G) one-hot reproduces
+    ``lbs(params_list[g[b]], ...)`` exactly, row by row. The heavy
+    contractions run once per gender on full MXU-sized matmuls; kinematics
+    and skinning run ONCE on the mixed quantities.
+
+    Replaces the eval driver's mixed-batch fallback that paid 3x the
+    target-SMPL work (round-2 VERDICT item 10; the reference never faces
+    mixed batches because it is locked to bs=1,
+    reference evaluate/evaluate_poseMF_shapeGaussian_net.py:83-104).
+
+    :param params_list: sequence of G SMPLParams (same shapes).
+    :param gender_onehot: (B, G) float one-hot rows.
+    :param betas: (B, num_betas)
+    :param full_pose_rotmats: (B, 24, 3, 3)
+    :return: vertices (B, 6890, 3), kinematic joints (B, 24, 3)
+    """
+    B = betas.shape[0]
+    oh = gender_onehot.astype(betas.dtype)
+
+    def mix(per_gender):
+        # per_gender: (G, B, ...) -> (B, ...)
+        return jnp.einsum("gb...,bg->b...", jnp.stack(per_gender), oh)
+
+    # Shape blendshapes + template, mixed per example.
+    v_shaped = mix([p.v_template[None] +
+                    jnp.einsum("vcn,bn->bvc", p.shapedirs, betas)
+                    for p in params_list])
+
+    # Rest joints: gendered J_regressor applied to the (already gendered)
+    # v_shaped of the SAME example — linear, so mix the regressor rows.
+    J_reg = jnp.einsum("gjv,bg->bjv",
+                       jnp.stack([p.J_regressor for p in params_list]), oh)
+    J = jnp.einsum("bjv,bvc->bjc", J_reg, v_shaped)
+
+    eye = jnp.eye(3, dtype=v_shaped.dtype)
+    pose_feature = (full_pose_rotmats[:, 1:] - eye).reshape(B, -1)
+    pose_offsets = mix([(pose_feature @ p.posedirs).reshape(B, -1, 3)
+                        for p in params_list])
+    v_posed = v_shaped + pose_offsets
+
+    posed_joints, rel_transforms = _batch_rigid_transform(
+        full_pose_rotmats, J, SMPL_PARENTS)
+
+    lbs_w = jnp.einsum("gvj,bg->bvj",
+                       jnp.stack([p.lbs_weights for p in params_list]), oh)
+    T = jnp.einsum("bvj,bjpq->bvpq", lbs_w, rel_transforms)
+    v_hom = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    verts = jnp.einsum("bvpq,bvq->bvp", T, v_hom)[..., :3]
+    return verts, posed_joints
+
+
+def smpl_forward_mixed(params_list, gender_code,
+                       betas=None, body_pose=None, global_orient=None,
+                       pose2rot=True, batch_size=None):
+    """`smpl_forward` for per-example gendered params via `lbs_mixed`.
+
+    :param params_list: sequence of G SMPLParams, indexed by gender_code.
+    :param gender_code: (B,) int — index into params_list per example.
+
+    The three extra joint regressors are identical across genders in the
+    reference (models/smpl_official.py:17-25 registers the same npy files on
+    every instance), so the 90-joint assembly runs once, ungendered.
+    """
+    G = len(params_list)
+    if batch_size is None:
+        for arg in (betas, body_pose, global_orient):
+            if arg is not None:
+                batch_size = arg.shape[0]
+                break
+        assert batch_size is not None, "need at least one batched argument"
+    B = batch_size
+    p0 = params_list[0]
+    dtype = p0.v_template.dtype
+
+    if betas is None:
+        betas = jnp.zeros((B, p0.shapedirs.shape[-1]), dtype)
+    if pose2rot:
+        body_rotmats = (so3_exp(body_pose.reshape(B, NUM_BODY_JOINTS, 3))
+                        if body_pose is not None else
+                        jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                         (B, NUM_BODY_JOINTS, 3, 3)))
+        glob_rotmats = (so3_exp(global_orient.reshape(B, 1, 3))
+                        if global_orient is not None else
+                        jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 1, 3, 3)))
+    else:
+        body_rotmats = (body_pose.reshape(B, NUM_BODY_JOINTS, 3, 3)
+                        if body_pose is not None else
+                        jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                         (B, NUM_BODY_JOINTS, 3, 3)))
+        glob_rotmats = (global_orient.reshape(B, 1, 3, 3)
+                        if global_orient is not None else
+                        jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 1, 3, 3)))
+
+    onehot = jax.nn.one_hot(gender_code, G, dtype=dtype)
+    full_pose = jnp.concatenate([glob_rotmats, body_rotmats], axis=1)
+    verts, kin_joints = lbs_mixed(params_list, onehot, betas, full_pose)
+
+    landmark_joints = verts[:, jnp.asarray(EXTRA_LANDMARK_VERTEX_IDS), :]
+    extra = vertices2joints(p0.J_regressor_extra, verts)
+    cocoplus = vertices2joints(p0.J_regressor_cocoplus, verts)
+    h36m = vertices2joints(p0.J_regressor_h36m, verts)
+    joints = jnp.concatenate([kin_joints, landmark_joints, extra, cocoplus,
+                              h36m], axis=1)
+    return {"vertices": verts, "joints": joints}
+
+
 def smpl_forward(params: SMPLParams,
                  betas=None,
                  body_pose=None,

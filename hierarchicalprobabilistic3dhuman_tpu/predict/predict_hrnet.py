@@ -124,6 +124,13 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
     return predict
 
 
+# One-shot-API predictor cache: repeated predict_hrnet calls in a loop must
+# reuse the compiled crop+HRNet+argmax stage instead of re-tracing per call.
+# Keyed on identity of the apply fn (a fresh closure means fresh weights),
+# the config object and the scale factor.
+_PREDICTOR_CACHE = {}
+
+
 def predict_hrnet(hrnet_apply,
                   hrnet_config,
                   image,
@@ -132,8 +139,10 @@ def predict_hrnet(hrnet_apply,
                   bbox_scale_factor=1.2):
     """Person bbox -> crop to 384x288 -> HRNet heatmaps -> 2D joints.
 
-    One-shot convenience wrapper around make_hrnet_predictor (which drivers
-    should prefer: it reuses one compiled device stage across images).
+    One-shot convenience wrapper around make_hrnet_predictor. The built
+    predictor (and thus its jitted device stage) is cached per
+    (hrnet_apply, config, scale factor), so looping this API over images
+    compiles once, same as holding a make_hrnet_predictor result.
 
     :param hrnet_apply: callable (B, 3, 384, 288) normalised -> (B, 17, 96, 72)
     :param image: (3, H, W) jnp array, RGB in [0, 1]
@@ -141,7 +150,11 @@ def predict_hrnet(hrnet_apply,
     :return: dict joints2D (17, 2), joints2Dconfs (17,), cropped_image
         (3, 384, 288), bbox_centre (2,), bbox_height, bbox_width
     """
-    predictor = make_hrnet_predictor(hrnet_apply, hrnet_config,
-                                     bbox_scale_factor=bbox_scale_factor)
+    cache_key = (id(hrnet_apply), id(hrnet_config), float(bbox_scale_factor))
+    predictor = _PREDICTOR_CACHE.get(cache_key)
+    if predictor is None:
+        predictor = make_hrnet_predictor(hrnet_apply, hrnet_config,
+                                         bbox_scale_factor=bbox_scale_factor)
+        _PREDICTOR_CACHE[cache_key] = predictor
     return predictor(image, object_detect_fn=object_detect_fn,
                      object_detect_threshold=object_detect_threshold)

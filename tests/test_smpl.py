@@ -141,3 +141,33 @@ def test_vmap_over_samples():
 
     verts = jax.vmap(one)(betas)
     assert verts.shape == (4, 8, NUM_VERTS, 3)
+
+
+def test_mixed_gender_forward_matches_per_gender():
+    """smpl_forward_mixed (one-hot-mixed param contractions, ONE forward)
+    must equal running each example through its own gendered smpl_forward
+    (the eval driver's former 3x-forward + select fallback)."""
+    from hierarchicalprobabilistic3dhuman_tpu.models.smpl import (
+        smpl_forward_mixed)
+    plist = [synthetic_smpl_params(seed=s) for s in (0, 1, 2)]
+    B = 5
+    rng = np.random.RandomState(11)
+    code = np.array([0, 1, 2, 1, 0], np.int32)
+    betas = jnp.asarray(rng.randn(B, 10).astype(np.float32))
+    aa = rng.randn(B, 24, 3).astype(np.float32) * 0.3
+    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import so3_exp
+    rotmats = so3_exp(jnp.asarray(aa.reshape(B * 24, 3))).reshape(B, 24, 3, 3)
+
+    mixed = smpl_forward_mixed(plist, jnp.asarray(code),
+                               betas=betas, body_pose=rotmats[:, 1:],
+                               global_orient=rotmats[:, 0:1], pose2rot=False)
+
+    for b in range(B):
+        ref = smpl_forward(plist[int(code[b])], betas=betas[b:b + 1],
+                           body_pose=rotmats[b:b + 1, 1:],
+                           global_orient=rotmats[b:b + 1, 0:1], pose2rot=False)
+        np.testing.assert_allclose(np.asarray(mixed["vertices"][b]),
+                                   np.asarray(ref["vertices"][0]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mixed["joints"][b]),
+                                   np.asarray(ref["joints"][0]), atol=2e-5)
