@@ -41,6 +41,13 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".cache", "jax_bench")
     os.makedirs(cache_dir, exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from hierarchicalprobabilistic3dhuman_tpu.runtime.cache_manifest import (
+            warn_if_stale)
+        warn_if_stale()  # loud line when sources changed after last refresh
+    except Exception:
+        pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

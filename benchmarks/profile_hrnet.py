@@ -1,0 +1,115 @@
+"""Profile the HRNet-W48 forward on TPU and print the per-op time breakdown.
+
+Drives hrnet.apply (bf16, B=16 by default, bench.py shapes) under
+jax.profiler.trace, then parses the captured xplane with xprof and prints the
+top ops by self time — attributing the ~65% of the predict step that HRNet
+costs (round-2 VERDICT item 1) so optimisation goes where the time is:
+convolution MXU time vs layout transposes vs BN/elementwise vs resize
+gathers.
+
+Usage: python benchmarks/profile_hrnet.py [B] [iters] [f32|bf16]
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dump_op_stats(logdir, top=40):
+    """Parse the xplane capture under logdir; print top self-time ops."""
+    from xprof.convert import raw_to_tool_data
+
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        print("no xplane captured", file=sys.stderr)
+        return None
+    params = {"tqx": "out:json;"}
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xplanes[-1]], "framework_op_stats", params)
+    if isinstance(data, bytes):
+        data = data.decode()
+    table = json.loads(data)
+    # gviz json: table["table"]["rows"] with cols described in table["table"]["cols"]
+    tbl = table[0] if isinstance(table, list) else table
+    cols = [c["label"] for c in tbl["cols"]]
+    rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
+
+    def col(name):
+        return cols.index(name)
+
+    i_name = col("Operation") if "Operation" in cols else col("Type")
+    i_self = next(i for i, c in enumerate(cols) if "self-time" in c.lower()
+                  or "self time" in c.lower())
+    i_occ = next((i for i, c in enumerate(cols) if "occurrences" in c.lower()),
+                 None)
+    rows.sort(key=lambda r: -(r[i_self] or 0))
+    total = sum(r[i_self] or 0 for r in rows)
+    print(f"\n{'self us':>12} {'%':>6} {'n':>5}  op")
+    for r in rows[:top]:
+        n = r[i_occ] if i_occ is not None else "-"
+        print(f"{r[i_self]:12.0f} {100*(r[i_self] or 0)/total:6.2f} {n:>5}"
+              f"  {str(r[i_name])[:110]}")
+    print(f"{total:12.0f} 100.00        TOTAL")
+    return rows, cols
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
+        PoseHighResolutionNet)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.precision import (
+        cast_floating)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bf16"
+
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE
+
+    hrnet = PoseHighResolutionNet(num_joints=17)
+    hrnet_vars = hrnet.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 3, in_h, in_w)))
+    if dtype == "bf16":
+        hrnet_vars = cast_floating(hrnet_vars)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, 3, in_h, in_w).astype(np.float32))
+    if dtype == "bf16":
+        x = x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def loop(x, v):
+        def body(i, carry):
+            eps = (jnp.float32(i) * jnp.float32(1e-12)).astype(x.dtype)
+            return carry + hrnet.apply(v, x * (1 + eps)) \
+                .astype(jnp.float32).mean()
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(np.asarray(loop(x, hrnet_vars)))  # compile + warm
+    t0 = time.perf_counter()
+    float(np.asarray(loop(x, hrnet_vars)))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"hrnet_{dtype} B={B}: {dt*1e3:.3f} ms/step "
+          f"{dt/B*1e6:.1f} us/img", flush=True)
+
+    logdir = "/tmp/hrnet_profile"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(np.asarray(loop(x, hrnet_vars)))
+    dump_op_stats(logdir)
+
+
+if __name__ == "__main__":
+    main()
