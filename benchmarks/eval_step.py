@@ -25,6 +25,8 @@ METRICS = MODE_METRICS + [m + "_samples_min" for m in MODE_METRICS]
 
 def main():
     import jax
+    from benchmarks import _scratch_cache
+    _scratch_cache.enable()
     import jax.numpy as jnp
 
     from hierarchicalprobabilistic3dhuman_tpu.configs import (

@@ -62,6 +62,8 @@ def dump_op_stats(logdir, top=40):
 
 def main():
     import jax
+    from benchmarks import _scratch_cache
+    _scratch_cache.enable()
     import jax.numpy as jnp
 
     from hierarchicalprobabilistic3dhuman_tpu.configs import (

@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def capture(out_dir, B=72):
     import jax
+    from benchmarks import _scratch_cache
+    _scratch_cache.enable()
     import jax.numpy as jnp
     import optax
 

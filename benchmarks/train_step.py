@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+    from benchmarks import _scratch_cache
+    _scratch_cache.enable()
     import jax.numpy as jnp
     import optax
 
