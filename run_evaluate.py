@@ -107,7 +107,7 @@ def run_evaluate(args):
         print(f"Evaluating on mesh {dict(mesh.shape)} "
               f"({n_devices}/{n_avail} devices)")
 
-    evaluate_pose_mf_shape_gaussian_net(
+    return evaluate_pose_mf_shape_gaussian_net(
         pose_shape_apply=pose_shape_apply,
         pose_shape_cfg=pose_shape_cfg,
         smpl_neutral=smpl_neutral,
