@@ -6,7 +6,7 @@ and ALL per-frame metrics (Procrustes/scale alignments, best-of-N sample
 minima) computed on device — with the same on-device-loop methodology as
 bench.py / benchmarks/train_step.py.
 
-Usage: python benchmarks/eval_step.py [batch_size] [iters] [num_samples]
+Usage: python benchmarks/eval_step.py [batch_size] [iters] [num_samples] [jacobi|lapack]
 """
 
 import os
@@ -44,11 +44,15 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    svd_impl = sys.argv[4] if len(sys.argv) > 4 else "jacobi"
 
     cfg = get_pose_shape_cfg_defaults()
     D = cfg.DATA.PROXY_REP_SIZE
 
-    model = PoseMFShapeGaussianNet()
+    # svd_impl="lapack" measures the converted-checkpoint parity mode:
+    # its pure_callback SVD pays a host round-trip per step, which on a
+    # tunnel-attached TPU is the dominant cost to quantify (VERDICT #9).
+    model = PoseMFShapeGaussianNet(svd_impl=svd_impl)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
     smpl = SMPL.synthetic()
     edge = CannyEdgeDetector(threshold=0.0)
@@ -91,7 +95,7 @@ def main():
                                 pose, shape)))
     dt = (time.perf_counter() - t0) / iters
 
-    print(f"eval step  B={B} N={N}  {dt * 1e3:.1f} ms/step  "
+    print(f"eval step  B={B} N={N} svd={svd_impl}  {dt * 1e3:.1f} ms/step  "
           f"{B / dt:.1f} img/s  (metric acc {acc:.3f})")
 
 

@@ -124,6 +124,64 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
     return predict
 
 
+def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
+                               bbox_scale_factor=1.2):
+    """Batched variant of make_hrnet_predictor: B same-resolution images in
+    ONE device dispatch (crop + normalise + HRNet + argmax). Per-image box
+    selection stays host-side; the device stage re-traces only per distinct
+    (B, H, W).
+
+    :return: predict_batch(images (B, 3, H, W) in [0,1],
+        object_detect_fn=None, object_detect_threshold=0.8) -> dict with
+        joints2D (B, 17, 2), joints2Dconfs (B, 17), cropped_image
+        (B, 3, 384, 288), bbox_centres (B, 2) np, bbox_heights/widths (B,) np
+    """
+    import jax
+
+    in_w, in_h = hrnet_config.MODEL.IMAGE_SIZE  # (288, 384)
+    aspect = float(in_h) / float(in_w)
+    kp_rescale = in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0])
+    mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD)[:, None, None]
+
+    @jax.jit
+    def _device_stage(images, centres, heights, widths):
+        cropped = batch_crop_affine(
+            (in_w, in_h), rgb=images, bbox_centres=centres,
+            bbox_heights=heights, bbox_widths=widths,
+            orig_scale_factor=bbox_scale_factor)["rgb"]  # (B, 3, 384, 288)
+        heatmaps = hrnet_apply((cropped - mean) / std)
+        joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
+        return joints2D * kp_rescale, confs, cropped
+
+    def predict_batch(images, object_detect_fn=None,
+                      object_detect_threshold=0.8):
+        B = images.shape[0]
+        H, W = images.shape[2:]
+        centres = np.empty((B, 2), np.float32)
+        heights = np.empty((B,), np.float32)
+        widths = np.empty((B,), np.float32)
+        for i in range(B):
+            det = (object_detect_fn(images[i])
+                   if object_detect_fn is not None else None)
+            c, h, w = select_centremost_person_box(
+                det, (H, W), threshold=object_detect_threshold)
+            if h > w * aspect:
+                w = h / aspect
+            elif h < w * aspect:
+                h = w * aspect
+            centres[i], heights[i], widths[i] = c, h, w
+
+        joints2D, confs, cropped = _device_stage(
+            jnp.asarray(images), jnp.asarray(centres),
+            jnp.asarray(heights), jnp.asarray(widths))
+        return {"joints2D": joints2D, "joints2Dconfs": confs,
+                "cropped_image": cropped, "bbox_centres": centres,
+                "bbox_heights": heights, "bbox_widths": widths}
+
+    return predict_batch
+
+
 # One-shot-API predictor cache: repeated predict_hrnet calls in a loop must
 # reuse the compiled crop+HRNet+argmax stage instead of re-tracing per call.
 # Keyed on identity of the apply fn (a fresh closure means fresh weights),

@@ -87,3 +87,113 @@ def test_predict_driver_end_to_end(tmp_path):
     assert uncrop.shape == (128, 128, 3)
     samples = cv2.imread(str(save_dir / "im0_samples.png"))
     assert samples.shape == (3 * WH, 6 * WH, 3)
+
+
+@pytest.mark.slow
+def test_batched_folder_predict_matches_per_image(tmp_path):
+    """predict_folder_batched (B images/dispatch, padded final chunk,
+    resolution groups, no_vis serving path) must reproduce the per-image
+    driver's deterministic outputs (pose mode, shape mean, cam) exactly."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        predict_folder_batched)
+
+    D = 32
+    WH = 64
+    cfg = get_pose_shape_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = D
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+
+    model = PoseMFShapeGaussianNet(embed_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+
+    hm_w, hm_h = hrnet_cfg.MODEL.HEATMAP_SIZE
+
+    def hrnet_stub(x):
+        B = x.shape[0]
+        hm = jnp.zeros((B, 17, hm_h, hm_w))
+        for j in range(17):
+            hm = hm.at[:, j, 10 + 2 * j, 5 + 3 * j].set(0.9)
+        return hm
+
+    smpl = SMPL.synthetic()
+    edge = CannyEdgeDetector(threshold=0.0)
+
+    image_dir = tmp_path / "imgs"
+    image_dir.mkdir()
+    rng = np.random.RandomState(3)
+    # two resolution groups; the 128 group has 3 images -> bs=2 pads chunk 2
+    for i in range(3):
+        cv2.imwrite(str(image_dir / f"a{i}.png"),
+                    (rng.rand(128, 128, 3) * 255).astype(np.uint8))
+    cv2.imwrite(str(image_dir / "b0.png"),
+                (rng.rand(96, 96, 3) * 255).astype(np.uint8))
+
+    batched = predict_folder_batched(
+        pose_shape_model_apply=apply_fn, pose_shape_cfg=cfg, smpl_model=smpl,
+        hrnet_apply=hrnet_stub, hrnet_cfg=hrnet_cfg, edge_detect_model=edge,
+        image_dir=str(image_dir), save_dir=str(tmp_path / "out_batched"),
+        batch_size=2, visualise_wh=WH, save_vis=False,
+        num_uncertainty_samples=4)
+    assert set(batched) == {"a0.png", "a1.png", "a2.png", "b0.png"}
+    npz = np.load(tmp_path / "out_batched" / "outputs.npz")
+    assert npz["pose_mode"].shape == (4, 23, 3, 3)
+    assert list(npz["fnames"]) == sorted(batched)
+
+    per_image = predict_pose_mf_shape_gaussian_net(
+        pose_shape_model_apply=apply_fn, pose_shape_cfg=cfg, smpl_model=smpl,
+        hrnet_apply=hrnet_stub, hrnet_cfg=hrnet_cfg, edge_detect_model=edge,
+        image_dir=str(image_dir), save_dir=str(tmp_path / "out_single"),
+        visualise_wh=WH, visualise_uncropped=False, visualise_samples=False,
+        num_uncertainty_samples=4)
+
+    for fname in per_image:
+        for k in ("pose_mode", "shape_mean", "cam"):
+            np.testing.assert_allclose(batched[fname][k], per_image[fname][k],
+                                       atol=1e-5, err_msg=f"{fname}/{k}")
+        # uncertainty uses different PRNG folding across drivers; just check
+        # it is present, finite and positive somewhere
+        u = batched[fname]["per_vertex_uncertainty"]
+        assert u.shape == (6890,) and np.isfinite(u).all() and u.max() > 0
+
+
+@pytest.mark.slow
+def test_batched_folder_predict_with_vis(tmp_path):
+    """save_vis path: figures + bucket-padded uncrops land on disk."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        predict_folder_batched)
+
+    D = 32
+    WH = 64
+    cfg = get_pose_shape_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = D
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = PoseMFShapeGaussianNet(embed_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    hm_w, hm_h = hrnet_cfg.MODEL.HEATMAP_SIZE
+
+    def hrnet_stub(x):
+        return jnp.zeros((x.shape[0], 17, hm_h, hm_w)).at[:, :, 8, 6].set(0.9)
+
+    image_dir = tmp_path / "imgs"
+    image_dir.mkdir()
+    rng = np.random.RandomState(4)
+    for i in range(2):
+        cv2.imwrite(str(image_dir / f"im{i}.png"),
+                    (rng.rand(100, 90, 3) * 255).astype(np.uint8))
+
+    save_dir = tmp_path / "out"
+    predict_folder_batched(
+        pose_shape_model_apply=apply_fn, pose_shape_cfg=cfg,
+        smpl_model=SMPL.synthetic(),
+        hrnet_apply=hrnet_stub, hrnet_cfg=hrnet_cfg,
+        edge_detect_model=CannyEdgeDetector(threshold=0.0),
+        image_dir=str(image_dir), save_dir=str(save_dir),
+        batch_size=2, visualise_wh=WH, save_vis=True,
+        visualise_uncropped=True, num_uncertainty_samples=4)
+    for i in range(2):
+        fig = cv2.imread(str(save_dir / f"im{i}.png"))
+        assert fig is not None and fig.shape == (2 * WH, 4 * WH, 3)
+        unc = cv2.imread(str(save_dir / f"im{i}_uncrop.png"))
+        assert unc is not None and unc.shape == (100, 90, 3)
