@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from hierarchicalprobabilistic3dhuman_tpu.configs import get_pose_shape_cfg_defaults
 from hierarchicalprobabilistic3dhuman_tpu.models.canny_edge_detector import (
@@ -77,6 +78,7 @@ def _run_trajectory():
         checksum
 
 
+@pytest.mark.slow
 def test_golden_training_trajectory():
     losses, pve_means, checksum = _run_trajectory()
     assert np.all(np.isfinite(losses))
@@ -101,3 +103,61 @@ def test_golden_training_trajectory():
                                err_msg="PVE trajectory drifted")
     np.testing.assert_allclose(checksum, float(g["checksum"]), rtol=1e-4,
                                err_msg="final parameter checksum drifted")
+
+
+def test_golden_loss_values_fast_canary():
+    """Fast-tier golden-value canary for the full loss stack (matrix-Fisher
+    NLL with the trapezoid normaliser, Gaussian shape NLL, where-masked
+    joints2D MSE, glob/verts/joints MSE, both stage weight sets). The full
+    fixed-seed training trajectory lives in the slow tier
+    (test_golden_training_trajectory); this pins the same numerics at unit
+    cost. Values generated on the CPU backend, 2026-08-17."""
+    from hierarchicalprobabilistic3dhuman_tpu.losses.matrix_fisher_loss import (
+        PoseMFShapeGaussianLoss)
+    from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import proper_svd3x3
+
+    rng = np.random.RandomState(77)
+    B, K, V, J = 2, 17, 40, 14
+    F = jnp.asarray((rng.randn(B, 23, 3, 3) * 0.5
+                     + np.eye(3)).astype(np.float32))
+    svd = proper_svd3x3(F)
+    pred = {"pose_params_F": F, "pose_params_U": svd["U"],
+            "pose_params_S": svd["S"], "pose_params_V": svd["V"],
+            "shape_mean": jnp.asarray(rng.randn(B, 10).astype(np.float32)),
+            "shape_log_std": jnp.asarray(
+                (rng.randn(B, 10) * 0.1).astype(np.float32)),
+            "joints2D": jnp.asarray(
+                rng.randn(B, 3, K, 2).astype(np.float32) * 0.5),
+            "glob_rotmats": jnp.asarray(rng.randn(B, 3, 3).astype(np.float32)),
+            "verts": jnp.asarray(rng.randn(B, V, 3).astype(np.float32)),
+            "joints3D": jnp.asarray(rng.randn(B, J, 3).astype(np.float32))}
+    tgt = {"pose_params_rotmats": jnp.broadcast_to(
+               jnp.eye(3, dtype=jnp.float32), (B, 23, 3, 3)),
+           "shape_params": jnp.asarray(rng.randn(B, 10).astype(np.float32)),
+           "joints2D": jnp.asarray((rng.rand(B, K, 2) * 64).astype(np.float32)),
+           "joints2D_vis": jnp.asarray(rng.rand(B, K) > 0.3),
+           "glob_rotmats": jnp.asarray(rng.randn(B, 3, 3).astype(np.float32)),
+           "verts": jnp.asarray(rng.randn(B, V, 3).astype(np.float32)),
+           "joints3D": jnp.asarray(rng.randn(B, J, 3).astype(np.float32))}
+    cfg = get_pose_shape_cfg_defaults()
+
+    golden = {
+        "STAGE1": (8789.267578125,
+                   {"pose_nll": -2.08152, "shape_nll": 20.546177,
+                    "joints2D": 0.505898, "glob_rotmats": 1.079798,
+                    "verts3D": 1.954068, "joints3D": 2.159926}),
+        "STAGE2": (42768.7734375,
+                   {"pose_nll": -2.08152, "shape_nll": 20.546177,
+                    "joints2D": 0.505898, "glob_rotmats": 1.079798,
+                    "verts3D": 1.954068, "joints3D": 2.159926}),
+    }
+    for name, stage_cfg in (("STAGE1", cfg.LOSS.STAGE1),
+                            ("STAGE2", cfg.LOSS.STAGE2)):
+        total, terms = PoseMFShapeGaussianLoss(stage_cfg, img_wh=64)(tgt, pred)
+        g_total, g_terms = golden[name]
+        np.testing.assert_allclose(float(total), g_total, rtol=1e-4,
+                                   err_msg=f"{name} total loss drifted")
+        for k, gv in g_terms.items():
+            np.testing.assert_allclose(float(terms[k]), gv, rtol=1e-3,
+                                       atol=1e-5,
+                                       err_msg=f"{name} term {k} drifted")

@@ -4,6 +4,7 @@ import sys
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
@@ -12,6 +13,7 @@ from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
 RNG = np.random.RandomState(33)
 
 
+@pytest.mark.slow
 def test_forward_shape():
     model = PoseHighResolutionNet()
     x = jnp.asarray(RNG.rand(1, 3, 128, 96).astype(np.float32))
@@ -20,6 +22,7 @@ def test_forward_shape():
     assert out.shape == (1, 17, 32, 24)
 
 
+@pytest.mark.slow
 def test_bf16_inference_matches_f32():
     """bfloat16 HRNet (cast params + input; flax infers compute dtype) keeps
     the keypoint argmax: heatmaps agree to bf16 resolution and the per-joint

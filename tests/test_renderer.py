@@ -137,6 +137,7 @@ def test_renderer_orthographic_scale_behaviour():
     np.testing.assert_allclose(a_big / a_small, 4.0, rtol=0.2)  # area ~ scale^2
 
 
+@pytest.mark.slow
 def test_renderer_rgb_vertex_features():
     smpl = SMPL.synthetic()
     verts = smpl(batch_size=1)["vertices"]
@@ -155,6 +156,7 @@ def test_renderer_rgb_vertex_features():
     np.testing.assert_allclose(rgb[~mask], 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_renderer_rgb_texture_atlas():
     smpl = SMPL.synthetic()
     verts = smpl(batch_size=1)["vertices"]
@@ -170,6 +172,7 @@ def test_renderer_rgb_texture_atlas():
     np.testing.assert_allclose(rgb[mask], 0.5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_renderer_diffuse_lighting_shades():
     smpl = SMPL.synthetic()
     verts = smpl(batch_size=1)["vertices"]
