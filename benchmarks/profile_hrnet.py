@@ -22,42 +22,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def dump_op_stats(logdir, top=40):
-    """Parse the xplane capture under logdir; print top self-time ops."""
+    """Parse the xplane capture under logdir; print per-category totals and
+    top self-time HLO ops (same hlo_stats path as profile_train_step)."""
     from xprof.convert import raw_to_tool_data
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                        recursive=True)
+    xplanes = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                               recursive=True))
     if not xplanes:
         print("no xplane captured", file=sys.stderr)
         return None
-    params = {"tqx": "out:json;"}
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "framework_op_stats", params)
+        [xplanes[-1]], "hlo_stats", {})
     if isinstance(data, bytes):
-        data = data.decode()
-    table = json.loads(data)
-    # gviz json: table["table"]["rows"] with cols described in table["table"]["cols"]
-    tbl = table[0] if isinstance(table, list) else table
-    cols = [c["label"] for c in tbl["cols"]]
-    rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
+        data = data.decode("utf-8", "replace")
+    obj = json.loads(data)
+    cols = [c.get("label", c.get("id", "")) for c in obj["cols"]]
 
-    def col(name):
-        return cols.index(name)
+    def col(label_substr):
+        for i, c in enumerate(cols):
+            if label_substr.lower() in str(c).lower():
+                return i
+        return None
 
-    i_name = col("Operation") if "Operation" in cols else col("Type")
-    i_self = next(i for i, c in enumerate(cols) if "self-time" in c.lower()
-                  or "self time" in c.lower())
-    i_occ = next((i for i, c in enumerate(cols) if "occurrences" in c.lower()),
-                 None)
-    rows.sort(key=lambda r: -(r[i_self] or 0))
-    total = sum(r[i_self] or 0 for r in rows)
-    print(f"\n{'self us':>12} {'%':>6} {'n':>5}  op")
-    for r in rows[:top]:
-        n = r[i_occ] if i_occ is not None else "-"
-        print(f"{r[i_self]:12.0f} {100*(r[i_self] or 0)/total:6.2f} {n:>5}"
-              f"  {str(r[i_name])[:110]}")
-    print(f"{total:12.0f} 100.00        TOTAL")
-    return rows, cols
+    i_cat = col("category")
+    i_name = col("HLO op name")
+    if i_name is None:
+        i_name = col("name")
+    i_self = col("Total self time (us)")
+    if i_self is None:
+        i_self = col("self time")
+    rows = []
+    for r in obj["rows"]:
+        v = r["c"]
+        rows.append((v[i_cat]["v"] if i_cat is not None else "?",
+                     v[i_name]["v"], float(v[i_self]["v"] or 0.0)))
+    total = sum(t for _, _, t in rows)
+    by_cat = {}
+    for cat, _, t in rows:
+        by_cat[cat] = by_cat.get(cat, 0.0) + t
+    print(f"\n== categories (total {total/1e3:.2f} ms traced) ==")
+    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"{t/1e3:9.2f} ms  {100*t/total:5.1f}%  {cat}")
+    print(f"\n== top {top} HLO ops by self time ==")
+    for cat, name, t in sorted(rows, key=lambda r: -r[2])[:top]:
+        print(f"{t/1e3:9.2f} ms  {100*t/total:5.1f}%  [{cat}] {str(name)[:95]}")
+    return rows
 
 
 def main():

@@ -75,16 +75,130 @@ class Bottleneck(nn.Module):
 
 
 def _upsample_nearest(x, factor):
+    # broadcast+reshape nearest upsample: XLA lowers this to a broadcast,
+    # not the gather jax.image.resize emits (profiled as "data formatting"
+    # time on TPU).
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * factor, W * factor, C), method="nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (B, H, factor, W, factor, C))
+    return x.reshape(B, H * factor, W * factor, C)
+
+
+# ---------------------------------------------------------------------------
+# Width-folded branch-0 (TPU MXU efficiency)
+#
+# The 48-channel branch-0 convs dominate HRNet-W48 on TPU: with C=48 both
+# the contraction (K) and output (N) dims waste 128-wide MXU lanes
+# (measured ~24 TF/s bf16, the K=48 9-tap lowering ceiling). Folding WIDTH
+# into channels — (B, H, W, 48) -> (B, H, W/2, 96), a FREE reshape in NHWC
+# row-major — and running the blocks with block-structured (3, 3, 96, 96)
+# kernels doubles the logical FLOPs but triples lane efficiency
+# (measured 71 us vs 124 us marginal per conv, benchmarks/conv_micro2.py).
+# Boundary semantics are exact: the folded taps that would read beyond the
+# original padding have identically-zero weight blocks.
+# ---------------------------------------------------------------------------
+
+
+def fold_conv3x3_width(w):
+    """(3, 3, C, C) HWIO kernel -> (3, 3, 2C, 2C) width-folded kernel.
+
+    Output col 2*jf + ox of the original conv reads original cols
+    2*jf + ox + dx - 1 (dx in 0..2); in folded coordinates that is folded
+    col jf + dxf, sub-col sx with ox + dx - 1 = 2*dxf + sx."""
+    C = w.shape[-1]
+    wf = jnp.zeros((3, 3, 2 * C, 2 * C), w.dtype)
+    for ox in range(2):
+        for dx in range(3):
+            t = ox + dx - 1
+            sx = t % 2
+            dxf = (t - sx) // 2 + 1
+            wf = wf.at[:, dxf, sx * C:(sx + 1) * C,
+                       ox * C:(ox + 1) * C].set(w[:, dx])
+    return wf
+
+
+class _ConvKernel(nn.Module):
+    """Parameter-only stand-in matching nn.Conv's {kernel} tree."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _BNStats(nn.Module):
+    """Parameter-only stand-in matching nn.BatchNorm's variable tree."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,))).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,))).value
+        return scale, bias, mean, var
+
+
+class FoldedBasicBlock(nn.Module):
+    """BasicBlock computed in width-folded layout.
+
+    Owns the SAME parameter tree as BasicBlock (conv1/bn1/conv2/bn2 with
+    original (3, 3, C, C) kernels and (C,) batch norms), so checkpoints and
+    the torch converter are untouched; the kernel fold + BN tiling happen
+    in-graph (a few thousand elements, constant-folded against the weights
+    per compilation). Inference-only, like the reference HRNet."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x_folded):
+        C = self.features
+
+        def bn_folded(name, y):
+            scale, bias, mean, var = _BNStats(C, name=name)()
+            s = (scale * jax.lax.rsqrt(var + 1e-5))
+            b = bias - mean * s
+            return y * jnp.tile(s, 2) + jnp.tile(b, 2)
+
+        k1 = _ConvKernel((3, 3, C, C), name="conv1")()
+        k2 = _ConvKernel((3, 3, C, C), name="conv2")()
+        residual = x_folded
+        y = jax.lax.conv_general_dilated(
+            x_folded, fold_conv3x3_width(k1), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.relu(bn_folded("bn1", y))
+        y = jax.lax.conv_general_dilated(
+            y, fold_conv3x3_width(k2), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = bn_folded("bn2", y)
+        return nn.relu(y + residual)
+
+
+def fold_width(x):
+    """(B, H, W, C) -> (B, H, W/2, 2C): free reshape in NHWC row-major."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def unfold_width(x):
+    B, H, Wf, C2 = x.shape
+    return x.reshape(B, H, Wf * 2, C2 // 2)
 
 
 class HighResolutionModule(nn.Module):
-    """One exchange unit: per-branch BASIC blocks + SUM fusion across scales."""
+    """One exchange unit: per-branch BASIC blocks + SUM fusion across scales.
+
+    With fold_branch0 (inference only), branch 0's block chain runs in the
+    width-folded layout (see FoldedBasicBlock); the fold/unfold at the
+    module boundary are free reshapes, so transitions and fuse layers are
+    untouched."""
     num_branches: int
     num_blocks: int
     channels: Sequence[int]
     multi_scale_output: bool = True
+    fold_branch0: bool = False
 
     @nn.compact
     def __call__(self, xs, train=False):
@@ -92,8 +206,16 @@ class HighResolutionModule(nn.Module):
         ys = []
         for b in range(self.num_branches):
             y = xs[b]
-            for k in range(self.num_blocks):
-                y = BasicBlock(self.channels[b], name=f"branch{b}_block{k}")(y, train)
+            if b == 0 and self.fold_branch0 and not train:
+                y = fold_width(y)
+                for k in range(self.num_blocks):
+                    y = FoldedBasicBlock(self.channels[0],
+                                         name=f"branch0_block{k}")(y)
+                y = unfold_width(y)
+            else:
+                for k in range(self.num_blocks):
+                    y = BasicBlock(self.channels[b],
+                                   name=f"branch{b}_block{k}")(y, train)
             ys.append(y)
 
         if self.num_branches == 1:
@@ -128,8 +250,15 @@ class HighResolutionModule(nn.Module):
 
 
 class PoseHighResolutionNet(nn.Module):
-    """Input (B, 3, H, W) NCHW like the reference; output (B, 17, H/4, W/4)."""
+    """Input (B, 3, H, W) NCHW like the reference; output (B, 17, H/4, W/4).
+
+    fold_branch0_width (default on, inference only): run the dominant
+    48-channel branch-0 block chains in a width-folded layout for ~3x the
+    MXU lane efficiency (see FoldedBasicBlock). Parameter tree and numerics
+    (up to float reassociation) are identical either way —
+    tests/test_hrnet.py::test_folded_branch0_matches_unfolded."""
     num_joints: int = 17
+    fold_branch0_width: bool = True
 
     @nn.compact
     def __call__(self, x, train=False, input_layout="NCHW"):
@@ -157,8 +286,10 @@ class PoseHighResolutionNet(nn.Module):
         x1 = nn.relu(_bn("transition1_1_bn", train)(x1))
         xs = [x0, x1]
 
+        fold = self.fold_branch0_width
         for m in range(STAGE2["num_modules"]):
             xs = HighResolutionModule(2, 4, STAGE2["channels"],
+                                      fold_branch0=fold,
                                       name=f"stage2_{m}")(xs, train)
 
         # transition2: add 192 branch from the last existing branch
@@ -169,6 +300,7 @@ class PoseHighResolutionNet(nn.Module):
 
         for m in range(STAGE3["num_modules"]):
             xs = HighResolutionModule(3, 4, STAGE3["channels"],
+                                      fold_branch0=fold,
                                       name=f"stage3_{m}")(xs, train)
 
         # transition3: add 384 branch
@@ -181,6 +313,7 @@ class PoseHighResolutionNet(nn.Module):
             last = m == STAGE4["num_modules"] - 1
             xs = HighResolutionModule(4, 4, STAGE4["channels"],
                                       multi_scale_output=not last,
+                                      fold_branch0=fold,
                                       name=f"stage4_{m}")(xs, train)
 
         out = nn.Conv(self.num_joints, (1, 1), name="final_layer")(xs[0])

@@ -75,3 +75,64 @@ def test_conversion_parity_with_reference():
         jnp.asarray(x), train=False))
     assert out.shape == out_ref.shape
     np.testing.assert_allclose(out, out_ref, atol=5e-4)
+
+
+def test_fold_conv3x3_width_is_exact():
+    """The width-folded kernel reproduces the original 3x3 conv exactly
+    (including boundary columns, where the out-of-range folded taps carry
+    identically-zero weight blocks)."""
+    from jax import lax
+    from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
+        fold_conv3x3_width, fold_width, unfold_width)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 6, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = unfold_width(lax.conv_general_dilated(
+        fold_width(x), fold_conv3x3_width(w), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_folded_basic_block_matches_unfolded():
+    """FoldedBasicBlock == BasicBlock on the same variable tree (identical
+    param structure; numerics equal up to float reassociation)."""
+    from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
+        BasicBlock, FoldedBasicBlock, fold_width, unfold_width)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 12, 48).astype(np.float32))
+    blk = BasicBlock(48)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(lambda a: a + jnp.asarray(
+        rng.rand(*a.shape).astype(np.float32)) * 0.3, v)
+    v = {"params": v["params"],
+         "batch_stats": jax.tree.map(lambda a: jnp.abs(a) + 0.1,
+                                     v["batch_stats"])}
+    ref = np.asarray(blk.apply(v, x))
+    fold = FoldedBasicBlock(48)
+    out = np.asarray(unfold_width(fold.apply(v, fold_width(x))))
+    np.testing.assert_allclose(out, ref, rtol=3e-6, atol=1e-5 * np.abs(ref).max())
+    # identical variable trees: checkpoints/converters are agnostic
+    v2 = fold.init(jax.random.PRNGKey(1), fold_width(x))
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+
+def test_folded_branch0_matches_unfolded():
+    """Full model: fold_branch0_width=True == False on the same variables
+    (small 64x64 input keeps the trace cheap; all stages + fuse paths run)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 3, 64, 64).astype(np.float32))
+    net_ref = PoseHighResolutionNet(num_joints=17, fold_branch0_width=False)
+    v = net_ref.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(net_ref.apply(v, x))
+    net_fold = PoseHighResolutionNet(num_joints=17, fold_branch0_width=True)
+    out = np.asarray(net_fold.apply(v, x))
+    # float reassociation accumulates over ~30 conv layers; random-init
+    # outputs are near zero so absolute tolerance is the meaningful bound.
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-4)
+    # same variable tree either way
+    v2 = net_fold.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
