@@ -99,22 +99,34 @@ def _upsample_nearest(x, factor):
 # ---------------------------------------------------------------------------
 
 
-def fold_conv3x3_width(w):
-    """(3, 3, C, C) HWIO kernel -> (3, 3, 2C, 2C) width-folded kernel.
-
-    Output col 2*jf + ox of the original conv reads original cols
-    2*jf + ox + dx - 1 (dx in 0..2); in folded coordinates that is folded
-    col jf + dxf, sub-col sx with ox + dx - 1 = 2*dxf + sx."""
-    C = w.shape[-1]
-    wf = jnp.zeros((3, 3, 2 * C, 2 * C), w.dtype)
+def _fold_selector():
+    """Constant T[dx, dxf, sx, ox] in {0,1}: original tap dx serving output
+    sub-col ox lands at folded tap dxf, input sub-col sx
+    (ox + dx - 1 = 2*(dxf - 1) + sx)."""
+    T = np.zeros((3, 3, 2, 2), np.float32)
     for ox in range(2):
         for dx in range(3):
             t = ox + dx - 1
             sx = t % 2
             dxf = (t - sx) // 2 + 1
-            wf = wf.at[:, dxf, sx * C:(sx + 1) * C,
-                       ox * C:(ox + 1) * C].set(w[:, dx])
-    return wf
+            T[dx, dxf, sx, ox] = 1.0
+    return T
+
+
+_FOLD_T = _fold_selector()
+
+
+def fold_conv3x3_width(w):
+    """(3, 3, C, C) HWIO kernel -> (3, 3, 2C, 2C) width-folded kernel.
+
+    Output col 2*jf + ox of the original conv reads original cols
+    2*jf + ox + dx - 1 (dx in 0..2); in folded coordinates that is folded
+    col jf + dxf, sub-col sx with ox + dx - 1 = 2*dxf + sx. One einsum with
+    a constant 0/1 selector (not 6 dynamic-update-slices — those cost real
+    per-forward time on TPU since the weights are traced inputs)."""
+    C = w.shape[-1]
+    wf = jnp.einsum("kdio,dfsp->kfsipo", w, jnp.asarray(_FOLD_T, w.dtype))
+    return wf.reshape(3, 3, 2 * C, 2 * C)
 
 
 class _ConvKernel(nn.Module):
@@ -177,7 +189,12 @@ class FoldedBasicBlock(nn.Module):
 
 
 def fold_width(x):
-    """(B, H, W, C) -> (B, H, W/2, 2C): free reshape in NHWC row-major."""
+    """(B, H, W, C) -> (B, H, W/2, 2C): a reshape in NHWC row-major.
+
+    NOTE: on TPU the tiled (8, 128) physical layout makes this a relayout,
+    not a bitcast — so the model keeps branch 0 folded END-TO-END (one fold
+    after transition1, one unfold before final_layer) instead of folding
+    per block."""
     B, H, W, C = x.shape
     return x.reshape(B, H, W // 2, 2 * C)
 
@@ -185,6 +202,35 @@ def fold_width(x):
 def unfold_width(x):
     B, H, Wf, C2 = x.shape
     return x.reshape(B, H, Wf * 2, C2 // 2)
+
+
+def fold_conv3x3_stride2_width_in(w):
+    """(3, 3, C, Co) stride-2 kernel -> (3, 2, 2C, Co) folded-INPUT kernel.
+
+    Strided output col j reads original cols 2j-1, 2j, 2j+1 = folded
+    (j-1, sub1), (j, sub0), (j, sub1): a 2-tap folded-W kernel, applied with
+    window strides (2, 1) and padding ((1,1), (1,0)). Used by the fuse
+    downsample paths that consume the folded branch 0."""
+    C, Co = w.shape[2:]
+    T2 = np.zeros((3, 2, 2), np.float32)
+    T2[0, 0, 1] = T2[1, 1, 0] = T2[2, 1, 1] = 1.0
+    wd = jnp.einsum("kdio,dgs->kgsio", w, jnp.asarray(T2, w.dtype))
+    return wd.reshape(3, 2, 2 * C, Co)
+
+
+def _upsample_into_folded(v, j):
+    """Branch-j fuse contribution (Hj, Wj, C) -> folded branch-0 layout
+    (H0, W0/2, 2C) without materialising the unfolded tensor: upsample H by
+    2^j and W by 2^(j-1), then duplicate channels (both sub-cols of a folded
+    pixel read the same nearest-neighbour source)."""
+    f = 2 ** j
+    B, H, W, C = v.shape
+    if j >= 1:
+        wrep = f // 2
+        v = jnp.broadcast_to(v[:, :, None, :, None, :],
+                             (B, H, f, W, wrep, C)) \
+            .reshape(B, H * f, W * wrep, C)
+    return jnp.concatenate([v, v], axis=-1)
 
 
 class HighResolutionModule(nn.Module):
@@ -202,16 +248,16 @@ class HighResolutionModule(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train=False):
-        # Branches
+        folded = self.fold_branch0 and not train
+        # Branches. With `folded`, xs[0]/ys[0] are in the width-folded
+        # layout for the WHOLE module (incl. fusion) — no relayouts.
         ys = []
         for b in range(self.num_branches):
             y = xs[b]
-            if b == 0 and self.fold_branch0 and not train:
-                y = fold_width(y)
+            if b == 0 and folded:
                 for k in range(self.num_blocks):
                     y = FoldedBasicBlock(self.channels[0],
                                          name=f"branch0_block{k}")(y)
-                y = unfold_width(y)
             else:
                 for k in range(self.num_blocks):
                     y = BasicBlock(self.channels[b],
@@ -233,14 +279,27 @@ class HighResolutionModule(nn.Module):
                     v = nn.Conv(self.channels[i], (1, 1), use_bias=False,
                                 name=f"fuse{i}_{j}_conv")(ys[j])
                     v = _bn(f"fuse{i}_{j}_bn", train)(v)
-                    v = _upsample_nearest(v, 2 ** (j - i))
+                    if i == 0 and folded:
+                        v = _upsample_into_folded(v, j)
+                    else:
+                        v = _upsample_nearest(v, 2 ** (j - i))
                 else:
                     v = ys[j]
                     for k in range(i - j):
                         out_ch = self.channels[i] if k == i - j - 1 else self.channels[j]
-                        v = nn.Conv(out_ch, (3, 3), strides=(2, 2),
-                                    padding=((1, 1), (1, 1)), use_bias=False,
-                                    name=f"fuse{i}_{j}_conv{k}")(v)
+                        if j == 0 and k == 0 and folded:
+                            # first conv of the chain consumes the FOLDED
+                            # branch 0: 2-tap folded-W stride-(2,1) kernel
+                            kern = _ConvKernel((3, 3, self.channels[0], out_ch),
+                                               name=f"fuse{i}_{j}_conv{k}")()
+                            v = jax.lax.conv_general_dilated(
+                                v, fold_conv3x3_stride2_width_in(kern),
+                                (2, 1), ((1, 1), (1, 0)),
+                                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                        else:
+                            v = nn.Conv(out_ch, (3, 3), strides=(2, 2),
+                                        padding=((1, 1), (1, 1)), use_bias=False,
+                                        name=f"fuse{i}_{j}_conv{k}")(v)
                         v = _bn(f"fuse{i}_{j}_bn{k}", train)(v)
                         if k != i - j - 1:
                             v = nn.relu(v)
@@ -281,12 +340,16 @@ class PoseHighResolutionNet(nn.Module):
         x0 = nn.Conv(48, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                      name="transition1_0_conv")(x)
         x0 = nn.relu(_bn("transition1_0_bn", train)(x0))
+        fold = self.fold_branch0_width and not train
+        if fold:
+            # branch 0 stays width-folded from here to final_layer (one
+            # relayout in, one out; see the fold_width notes above)
+            x0 = fold_width(x0)
         x1 = nn.Conv(96, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                      use_bias=False, name="transition1_1_conv")(x)
         x1 = nn.relu(_bn("transition1_1_bn", train)(x1))
         xs = [x0, x1]
 
-        fold = self.fold_branch0_width
         for m in range(STAGE2["num_modules"]):
             xs = HighResolutionModule(2, 4, STAGE2["channels"],
                                       fold_branch0=fold,
@@ -316,7 +379,8 @@ class PoseHighResolutionNet(nn.Module):
                                       fold_branch0=fold,
                                       name=f"stage4_{m}")(xs, train)
 
-        out = nn.Conv(self.num_joints, (1, 1), name="final_layer")(xs[0])
+        x_final = unfold_width(xs[0]) if fold else xs[0]
+        out = nn.Conv(self.num_joints, (1, 1), name="final_layer")(x_final)
         return jnp.transpose(out, (0, 3, 1, 2))  # back to NCHW heatmaps
 
 
