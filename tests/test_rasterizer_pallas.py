@@ -60,4 +60,8 @@ def test_face_tables_pack(interpret_pallas):
     geom_t, at, ranges = rp.pack_face_tables(verts, faces, attrs)
     assert geom_t.shape == (1, 16, rp.FACE_CHUNK)
     assert at.shape == (1, rp.FACE_CHUNK, 12)
-    assert ranges.shape == (1, 1, 2)
+    assert ranges.shape == (1, 1, 4)  # [rmin, rmax, cmin, cmax]
+    r = np.asarray(ranges[0, 0])
+    fv = np.asarray(verts)[0][np.asarray(faces)]
+    assert r[0] <= fv[..., 1].min() and r[1] >= fv[..., 1].max() - 1
+    assert r[2] <= fv[..., 0].min() and r[3] >= fv[..., 0].max() - 1
