@@ -45,6 +45,16 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     svd_impl = sys.argv[4] if len(sys.argv) > 4 else "jacobi"
+    if svd_impl == "lapack":
+        from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import (
+            lapack_mode_supported)
+        if not lapack_mode_supported():
+            # Measured on the axon PJRT tunnel: pure_callback is rejected
+            # outright, so lapack-mode eval CANNOT run on this TPU backend;
+            # converted-checkpoint parity eval belongs on the CPU backend.
+            print("eval step  svd=lapack UNSUPPORTED on this backend "
+                  "(no host callbacks); run with JAX_PLATFORMS=cpu")
+            return
 
     cfg = get_pose_shape_cfg_defaults()
     D = cfg.DATA.PROXY_REP_SIZE

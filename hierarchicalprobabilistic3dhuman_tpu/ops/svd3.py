@@ -191,3 +191,28 @@ def proper_svd3x3_lapack(F):
     """proper_svd3x3 with LAPACK sign conventions (see svd3x3_lapack)."""
     U, S, V = svd3x3_lapack(F)
     return _properize(U, S, V)
+
+
+_LAPACK_SUPPORT = None
+
+
+def lapack_mode_supported():
+    """Probe whether the current backend supports host callbacks.
+
+    Some TPU runtimes (measured: the axon PJRT tunnel) reject
+    jax.pure_callback outright ("does not support host send/recv
+    callbacks"), so svd_impl='lapack' cannot execute there at all. CLIs
+    call this to fall back to the Jacobi kernel with a loud warning instead
+    of crashing mid-evaluation; converted-checkpoint parity runs in lapack
+    mode should use the CPU backend (JAX_PLATFORMS=cpu), where the callback
+    is native. Result cached per process.
+    """
+    global _LAPACK_SUPPORT
+    if _LAPACK_SUPPORT is None:
+        try:
+            probe = jax.jit(svd3x3_lapack)(jnp.eye(3)[None])
+            jax.block_until_ready(probe)
+            _LAPACK_SUPPORT = True
+        except Exception:
+            _LAPACK_SUPPORT = False
+    return _LAPACK_SUPPORT

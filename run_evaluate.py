@@ -74,6 +74,17 @@ def run_evaluate(args):
     if svd_impl == "auto":
         w = args.pose_shape_weights or ""
         svd_impl = "lapack" if w.endswith((".tar", ".pth", ".pt")) else "jacobi"
+    if svd_impl == "lapack":
+        from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import (
+            lapack_mode_supported)
+        if not lapack_mode_supported():
+            print("WARNING: this backend does not support host callbacks; "
+                  "svd_impl=lapack cannot run here. Falling back to the "
+                  "on-device Jacobi SVD (sign-convention divergence for "
+                  "converted checkpoints is quantified in "
+                  "tests/test_svd_sign_parity.py). For exact "
+                  "converted-checkpoint parity run with JAX_PLATFORMS=cpu.")
+            svd_impl = "jacobi"
     pose_shape_model = PoseMFShapeGaussianNet(
         num_in_channels=pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
         num_resnet_layers=pose_shape_cfg.MODEL.NUM_RESNET_LAYERS,
