@@ -11,6 +11,8 @@ import numpy as np
 
 def run_evaluate(args):
     import jax
+    from hierarchicalprobabilistic3dhuman_tpu.runtime import cli_cache
+    cli_cache.enable()
     import jax.numpy as jnp
 
     from hierarchicalprobabilistic3dhuman_tpu.configs import (

@@ -49,6 +49,8 @@ def _load_hrnet_variables(path, model, example_input):
 
 def run_predict(args):
     import jax
+    from hierarchicalprobabilistic3dhuman_tpu.runtime import cli_cache
+    cli_cache.enable()
     import jax.numpy as jnp
 
     from hierarchicalprobabilistic3dhuman_tpu.configs import (

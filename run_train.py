@@ -14,6 +14,8 @@ import os
 
 def run_train(args):
     import jax
+    from hierarchicalprobabilistic3dhuman_tpu.runtime import cli_cache
+    cli_cache.enable()
     import jax.numpy as jnp
     import optax
 
