@@ -72,7 +72,7 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
                     edge_detect_model, pose_shape_cfg, num_samples,
                     compute_joints2d, compute_silhouettes, compute_samples,
                     silhouette_renderer, mesh=None, static_gender=None,
-                    frame_metrics_fn=None):
+                    frame_metrics_fn=None, pose_shape_vars=None):
     """Build the jitted per-batch evaluation function.
 
     With a mesh, the dataset batch shards over "data" and the (B, N, ...)
@@ -92,6 +92,12 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
     silhouette tensors are then dropped from the step outputs so the host
     fetch per batch is a few KB (the reference fetches everything and runs
     numpy Procrustes per batch, eval driver :230-234).
+
+    pose_shape_vars: when given, `pose_shape_apply` must be the
+    params-explicit `apply(variables, proxy)` form; the weights enter the
+    compiled step as an ARGUMENT instead of a constant (a closure over
+    device-resident weights downloads them at trace time and rebloats the
+    serialized executable — see utils/precision.bf16_apply_pure).
     """
     from hierarchicalprobabilistic3dhuman_tpu.parallel import (
         sample_sharding, flat_sample_sharding, constrain,
@@ -110,9 +116,14 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
     x_axis = jnp.asarray([1.0, 0.0, 0.0])
     zero_t = jnp.zeros(3)
     Rx = so3_exp(x_axis[None] * _X_FLIP)[0]
+    if pose_shape_vars is None:
+        apply_fn = lambda _unused_vars, proxy: pose_shape_apply(proxy)
+        pose_shape_vars = ()
+    else:
+        apply_fn = pose_shape_apply
 
-    def step(key, image, heatmaps, target_pose, target_shape, gender_code,
-             target_joints2d, target_silhouette):
+    def _step(variables, key, image, heatmaps, target_pose, target_shape,
+              gender_code, target_joints2d, target_silhouette):
         """gender_code: (B,) int32 — 0 neutral, 1 male, 2 female.
         target_joints2d (B, 17, 2) / target_silhouette (B, D, D): dataset
         ground truth for the joints2D/silhouette metrics (zero-filled when
@@ -162,7 +173,7 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
         out["target_joints3D"] = target_joints[:, h36m_map][:, j14_map]
 
         # ---- prediction ----
-        pred = pose_shape_apply(proxy)
+        pred = apply_fn(variables, proxy)
         glob_rotmats = (batch_rodrigues(pred["glob"]) if pred["glob"].shape[-1] == 3
                         else rot6d_to_rotmat(pred["glob"]))
         cam_wp = pred["cam"]
@@ -268,9 +279,16 @@ def _make_eval_step(pose_shape_apply, smpl_neutral, smpl_male, smpl_female,
 
         return out
 
-    if mesh is not None:
-        return make_sharded_eval_step(step, mesh)
-    return jax.jit(step)
+    jitted = (make_sharded_eval_step(_step, mesh) if mesh is not None
+              else jax.jit(_step))
+    bound_vars = pose_shape_vars
+
+    def step(key, *batch_args):
+        # Public arity unchanged; the variable tree enters the compiled
+        # program as a per-call argument.
+        return jitted(bound_vars, key, *batch_args)
+
+    return step
 
 
 def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
@@ -289,7 +307,8 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                                         rng_seed=0,
                                         mesh=None,
                                         sort_by_gender=True,
-                                        on_device_metrics=True):
+                                        on_device_metrics=True,
+                                        pose_shape_vars=None):
     """Run evaluation; prints final metrics and returns them as a dict.
 
     :param mesh: optional ("data", "sample") jax.sharding.Mesh — shards the
@@ -357,7 +376,8 @@ def evaluate_pose_mf_shape_gaussian_net(pose_shape_apply,
                 edge_detect_model, pose_shape_cfg, num_samples_for_metrics,
                 compute_joints2d, compute_silhouettes, compute_samples,
                 silhouette_renderer, mesh=mesh, static_gender=static_gender,
-                frame_metrics_fn=frame_metrics_fn)
+                frame_metrics_fn=frame_metrics_fn,
+                pose_shape_vars=pose_shape_vars)
         return steps[static_gender]
 
     key = jax.random.PRNGKey(rng_seed)

@@ -122,16 +122,22 @@ def smpl_params_from_native(data, num_betas=10, dtype=jnp.float32):
     lbs_weights = _as_dense(data["weights"]).astype(np.float32)
     faces = _as_dense(data["f"]).astype(np.int32)
     jre, jrc, jrh = _load_extra_regressors()
+    # HOST (numpy) storage, deliberately: these arrays are closed over by the
+    # jitted train/eval/predict programs and embedded as constants at trace
+    # time. Tracing over host arrays embeds them directly; device-resident
+    # (jnp) leaves would each be downloaded through the runtime to build the
+    # MLIR constant — ~20 MB at the TPU tunnel's ~1.6 MB/s download rate.
+    np_dtype = np.dtype(dtype) if dtype != jnp.float32 else np.float32
     return SMPLParams(
-        v_template=jnp.asarray(v_template, dtype),
-        shapedirs=jnp.asarray(shapedirs, dtype),
-        posedirs=jnp.asarray(posedirs, dtype),
-        J_regressor=jnp.asarray(J_regressor, dtype),
-        lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=jnp.asarray(faces),
-        J_regressor_extra=jnp.asarray(jre, dtype),
-        J_regressor_cocoplus=jnp.asarray(jrc, dtype),
-        J_regressor_h36m=jnp.asarray(jrh, dtype),
+        v_template=np.asarray(v_template, np_dtype),
+        shapedirs=np.asarray(shapedirs, np_dtype),
+        posedirs=np.asarray(posedirs, np_dtype),
+        J_regressor=np.asarray(J_regressor, np_dtype),
+        lbs_weights=np.asarray(lbs_weights, np_dtype),
+        faces=np.asarray(faces, np.int32),
+        J_regressor_extra=np.asarray(jre, np_dtype),
+        J_regressor_cocoplus=np.asarray(jrc, np_dtype),
+        J_regressor_h36m=np.asarray(jrh, np_dtype),
     )
 
 
@@ -258,16 +264,18 @@ def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
         faces = rng.randint(0, NUM_VERTS, size=(13776, 3)).astype(np.int32)
 
     jre, jrc, jrh = _load_extra_regressors()
+    # numpy leaves on purpose — see smpl_params_from_native.
+    np_dtype = np.dtype(dtype) if dtype != jnp.float32 else np.float32
     return SMPLParams(
-        v_template=jnp.asarray(v_template, dtype),
-        shapedirs=jnp.asarray(shapedirs, dtype),
-        posedirs=jnp.asarray(posedirs_native.reshape(-1, 207).T, dtype),
-        J_regressor=jnp.asarray(J_regressor.astype(np.float32), dtype),
-        lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=jnp.asarray(faces),
-        J_regressor_extra=jnp.asarray(jre, dtype),
-        J_regressor_cocoplus=jnp.asarray(jrc, dtype),
-        J_regressor_h36m=jnp.asarray(jrh, dtype),
+        v_template=np.asarray(v_template, np_dtype),
+        shapedirs=np.asarray(shapedirs, np_dtype),
+        posedirs=np.asarray(posedirs_native.reshape(-1, 207).T, np_dtype),
+        J_regressor=np.asarray(J_regressor, np_dtype),
+        lbs_weights=np.asarray(lbs_weights, np_dtype),
+        faces=np.asarray(faces, np.int32),
+        J_regressor_extra=np.asarray(jre, np_dtype),
+        J_regressor_cocoplus=np.asarray(jrc, np_dtype),
+        J_regressor_h36m=np.asarray(jrh, np_dtype),
     )
 
 

@@ -39,13 +39,13 @@ def make_sharded_train_step(step_fn, mesh):
 
 
 def make_sharded_eval_step(step_fn, mesh):
-    """Wrap an (unjitted) eval step(key, image, heatmaps, pose, shape,
-    gender_code, target_joints2d, target_silhouette): dataset batch sharded
-    over "data", key replicated. Sample tensors inside shard over "sample"
-    via the step's own constraints."""
+    """Wrap an (unjitted) eval step(variables, key, image, heatmaps, pose,
+    shape, gender_code, target_joints2d, target_silhouette): variables and
+    key replicated, dataset batch sharded over "data". Sample tensors inside
+    shard over "sample" via the step's own constraints."""
     rep = replicated_sharding(mesh)
     dat = data_sharding(mesh)
-    return jax.jit(step_fn, in_shardings=(rep,) + (dat,) * 7)
+    return jax.jit(step_fn, in_shardings=(rep, rep) + (dat,) * 7)
 
 
 def make_sharded_apply(apply_fn, mesh):

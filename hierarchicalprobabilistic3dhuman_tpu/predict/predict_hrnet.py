@@ -63,7 +63,8 @@ def select_centremost_person_box(detections, image_hw, threshold=0.8):
     return np.array([H / 2.0, W / 2.0], np.float32), float(H), float(W)
 
 
-def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
+def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2,
+                         hrnet_vars=None):
     """Build a per-image HRNet keypoint predictor with its device path jitted.
 
     The detector + box selection stay host-side (detector outputs are host
@@ -73,6 +74,13 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
     the reference-style eager flow (crop, normalise, forward, argmax as
     separate dispatches per image) is catastrophically slow there.
 
+    :param hrnet_vars: when given, `hrnet_apply` must be the params-explicit
+        form `hrnet_apply(variables, images)` and the variable tree is passed
+        to the jitted stage as an ARGUMENT. Without it (legacy form,
+        `hrnet_apply(images)` closing over its weights) tracing embeds the
+        weights as compiled-program constants — which a tunnel-attached TPU
+        pays for with a full weight download at trace time plus a
+        weight-sized serialized executable.
     :return: predict(image (3, H, W) in [0,1], object_detect_fn=None,
         object_detect_threshold=0.8) -> dict (see predict_hrnet)
     """
@@ -83,9 +91,14 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
     kp_rescale = in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0])
     mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
     std = jnp.asarray(IMAGENET_STD)[:, None, None]
+    if hrnet_vars is None:
+        apply_fn = lambda _unused_vars, images: hrnet_apply(images)
+        hrnet_vars = ()
+    else:
+        apply_fn = hrnet_apply
 
     @jax.jit
-    def _device_stage(image, centre, height, width):
+    def _device_stage(variables, image, centre, height, width):
         cropped = batch_crop_affine(
             (in_w, in_h),
             rgb=image[None],
@@ -93,7 +106,7 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
             bbox_heights=height[None],
             bbox_widths=width[None],
             orig_scale_factor=bbox_scale_factor)["rgb"][0]  # (3, 384, 288)
-        heatmaps = hrnet_apply(((cropped - mean) / std)[None])
+        heatmaps = apply_fn(variables, ((cropped - mean) / std)[None])
         joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
         return joints2D[0] * kp_rescale, confs[0], cropped
 
@@ -109,6 +122,7 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
             height = width * aspect
 
         joints2D, confs, cropped = _device_stage(
+            hrnet_vars,
             jnp.asarray(image), jnp.asarray(centre, jnp.float32),
             jnp.asarray(height, jnp.float32), jnp.asarray(width, jnp.float32))
         return {"joints2D": joints2D,
@@ -125,12 +139,15 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2):
 
 
 def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
-                               bbox_scale_factor=1.2):
+                               bbox_scale_factor=1.2, hrnet_vars=None):
     """Batched variant of make_hrnet_predictor: B same-resolution images in
     ONE device dispatch (crop + normalise + HRNet + argmax). Per-image box
     selection stays host-side; the device stage re-traces only per distinct
     (B, H, W).
 
+    :param hrnet_vars: see make_hrnet_predictor — when given, `hrnet_apply`
+        is the params-explicit `hrnet_apply(variables, images)` form and the
+        weights are jit ARGUMENTS, not compiled-in constants.
     :return: predict_batch(images (B, 3, H, W) in [0,1],
         object_detect_fn=None, object_detect_threshold=0.8) -> dict with
         joints2D (B, 17, 2), joints2Dconfs (B, 17), cropped_image
@@ -143,14 +160,19 @@ def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
     kp_rescale = in_w / float(hrnet_config.MODEL.HEATMAP_SIZE[0])
     mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
     std = jnp.asarray(IMAGENET_STD)[:, None, None]
+    if hrnet_vars is None:
+        apply_fn = lambda _unused_vars, images: hrnet_apply(images)
+        hrnet_vars = ()
+    else:
+        apply_fn = hrnet_apply
 
     @jax.jit
-    def _device_stage(images, centres, heights, widths):
+    def _device_stage(variables, images, centres, heights, widths):
         cropped = batch_crop_affine(
             (in_w, in_h), rgb=images, bbox_centres=centres,
             bbox_heights=heights, bbox_widths=widths,
             orig_scale_factor=bbox_scale_factor)["rgb"]  # (B, 3, 384, 288)
-        heatmaps = hrnet_apply((cropped - mean) / std)
+        heatmaps = apply_fn(variables, (cropped - mean) / std)
         joints2D, confs = get_kp_locations_confs_from_heatmaps(heatmaps)
         return joints2D * kp_rescale, confs, cropped
 
@@ -173,7 +195,7 @@ def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
             centres[i], heights[i], widths[i] = c, h, w
 
         joints2D, confs, cropped = _device_stage(
-            jnp.asarray(images), jnp.asarray(centres),
+            hrnet_vars, jnp.asarray(images), jnp.asarray(centres),
             jnp.asarray(heights), jnp.asarray(widths))
         return {"joints2D": joints2D, "joints2Dconfs": confs,
                 "cropped_image": cropped, "bbox_centres": centres,
@@ -194,25 +216,30 @@ def predict_hrnet(hrnet_apply,
                   image,
                   object_detect_fn=None,
                   object_detect_threshold=0.8,
-                  bbox_scale_factor=1.2):
+                  bbox_scale_factor=1.2,
+                  hrnet_vars=None):
     """Person bbox -> crop to 384x288 -> HRNet heatmaps -> 2D joints.
 
     One-shot convenience wrapper around make_hrnet_predictor. The built
     predictor (and thus its jitted device stage) is cached per
-    (hrnet_apply, config, scale factor), so looping this API over images
-    compiles once, same as holding a make_hrnet_predictor result.
+    (hrnet_apply, vars, config, scale factor), so looping this API over
+    images compiles once, same as holding a make_hrnet_predictor result.
 
-    :param hrnet_apply: callable (B, 3, 384, 288) normalised -> (B, 17, 96, 72)
+    :param hrnet_apply: callable (B, 3, 384, 288) normalised -> (B, 17, 96, 72),
+        or the params-explicit form `hrnet_apply(variables, images)` when
+        `hrnet_vars` is given (see make_hrnet_predictor).
     :param image: (3, H, W) jnp array, RGB in [0, 1]
     :param object_detect_fn: callable(image) -> detections dict, or None
     :return: dict joints2D (17, 2), joints2Dconfs (17,), cropped_image
         (3, 384, 288), bbox_centre (2,), bbox_height, bbox_width
     """
-    cache_key = (id(hrnet_apply), id(hrnet_config), float(bbox_scale_factor))
+    cache_key = (id(hrnet_apply), id(hrnet_vars), id(hrnet_config),
+                 float(bbox_scale_factor))
     predictor = _PREDICTOR_CACHE.get(cache_key)
     if predictor is None:
         predictor = make_hrnet_predictor(hrnet_apply, hrnet_config,
-                                         bbox_scale_factor=bbox_scale_factor)
+                                         bbox_scale_factor=bbox_scale_factor,
+                                         hrnet_vars=hrnet_vars)
         _PREDICTOR_CACHE[cache_key] = predictor
     return predictor(image, object_detect_fn=object_detect_fn,
                      object_detect_threshold=object_detect_threshold)

@@ -17,6 +17,7 @@ restructured TPU-first:
 """
 
 import os
+import time
 from functools import partial
 
 import numpy as np
@@ -98,7 +99,8 @@ def build_proxy_representation(cropped_rgb, cropped_joints2D, joints2Dconfs,
 def make_predict_core(pose_shape_model_apply, pose_shape_cfg, smpl_model,
                       edge_detect_model, body_vis_renderer, hrnet_cfg,
                       joints2Dvisib_threshold=0.75, visualise_wh=512,
-                      num_uncertainty_samples=50, mesh=None, render_vis=True):
+                      num_uncertainty_samples=50, mesh=None, render_vis=True,
+                      pose_shape_vars=None):
     """Build the jitted batched predict core: everything between the HRNet
     output and host figure assembly, for a batch of B images in ONE program
     (crop, proxy, predictor, SMPL mode + T-pose, uncertainty sampling, jet
@@ -110,6 +112,12 @@ def make_predict_core(pose_shape_model_apply, pose_shape_cfg, smpl_model,
     the fast path for `run_predict.py --batch_size N --no_vis` folder
     inference, which returns only the distribution/uncertainty outputs.
 
+    :param pose_shape_vars: when given, `pose_shape_model_apply` must be the
+        params-explicit form `apply(variables, proxy)`; the variable tree
+        becomes a jit ARGUMENT instead of a compiled-in constant (a closure
+        over device-resident weights makes tracing download them at the
+        tunnel's ~1.6 MB/s and rebloats the serialized executable by the
+        weight size).
     :return: core(key, hr_cropped (B,3,384,288), joints2D (B,17,2),
         confs (B,17)) -> dict of batched outputs (rgb_views/iuv_views are
         (B, 6, ...) when render_vis).
@@ -128,9 +136,14 @@ def make_predict_core(pose_shape_model_apply, pose_shape_cfg, smpl_model,
     proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
     in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE  # (288, 384)
     wh = visualise_wh
+    if pose_shape_vars is None:
+        apply_fn = lambda _unused_vars, proxy: pose_shape_model_apply(proxy)
+        pose_shape_vars = ()
+    else:
+        apply_fn = pose_shape_model_apply
 
     @jax.jit
-    def core(key, hr_cropped, joints2D, confs):
+    def _core(variables, key, hr_cropped, joints2D, confs):
         B = hr_cropped.shape[0]
         cropped = batch_crop_affine(
             (proxy_size, proxy_size),
@@ -146,7 +159,7 @@ def make_predict_core(pose_shape_model_apply, pose_shape_cfg, smpl_model,
                                            pose_shape_cfg,
                                            joints2Dvisib_threshold)
 
-        pred = pose_shape_model_apply(proxy)
+        pred = apply_fn(variables, proxy)
         if pred["glob"].shape[-1] == 3:
             glob_rotmats = batch_rodrigues(pred["glob"])
         else:
@@ -241,6 +254,11 @@ def make_predict_core(pose_shape_model_apply, pose_shape_cfg, smpl_model,
         })
         return out
 
+    def core(key, hr_cropped, joints2D, confs):
+        # The variable tree is a (non-traced) python cell here; it enters the
+        # compiled program as an argument on every call.
+        return _core(pose_shape_vars, key, hr_cropped, joints2D, confs)
+
     return core
 
 
@@ -259,7 +277,9 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                                        visualise_samples=False,
                                        num_uncertainty_samples=50,
                                        rng_seed=0,
-                                       mesh=None):
+                                       mesh=None,
+                                       pose_shape_vars=None,
+                                       hrnet_vars=None):
     """Run prediction on every .jpg/.png in image_dir; write figures to save_dir.
 
     :param pose_shape_model_apply: callable proxy (B, 18, D, D) -> predictor
@@ -278,7 +298,8 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
                                             render_rgb=True)
     hrnet_predictor = make_hrnet_predictor(
         hrnet_apply, hrnet_cfg,
-        bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)
+        bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR,
+        hrnet_vars=hrnet_vars)
 
     lights_rgb_settings = {
         "location": jnp.asarray([0.0, -0.8, -2.0]),
@@ -301,7 +322,7 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
         joints2Dvisib_threshold=joints2Dvisib_threshold,
         visualise_wh=visualise_wh,
         num_uncertainty_samples=num_uncertainty_samples, mesh=mesh,
-        render_vis=True)
+        render_vis=True, pose_shape_vars=pose_shape_vars)
 
     @partial(jax.jit, static_argnames=("orig_w", "orig_h"))
     def _uncrop_core(rgb0, iuv0, bbox_centre, bbox_whs, orig_w, orig_h):
@@ -479,7 +500,9 @@ def predict_folder_batched(pose_shape_model_apply,
                            visualise_uncropped=True,
                            num_uncertainty_samples=50,
                            rng_seed=0,
-                           mesh=None):
+                           mesh=None,
+                           pose_shape_vars=None,
+                           hrnet_vars=None):
     """Folder prediction with B images per device dispatch.
 
     The reference (and the per-image driver above) processes images strictly
@@ -517,10 +540,11 @@ def predict_folder_batched(pose_shape_model_apply,
         joints2Dvisib_threshold=joints2Dvisib_threshold,
         visualise_wh=visualise_wh,
         num_uncertainty_samples=num_uncertainty_samples, mesh=mesh,
-        render_vis=save_vis)
+        render_vis=save_vis, pose_shape_vars=pose_shape_vars)
     hrnet_batch = make_hrnet_batch_predictor(
         hrnet_apply, hrnet_cfg,
-        bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR)
+        bbox_scale_factor=pose_shape_cfg.DATA.BBOX_SCALE_FACTOR,
+        hrnet_vars=hrnet_vars)
 
     @partial(jax.jit, static_argnames=("orig_w", "orig_h"))
     def _uncrop_core(rgb, iuv, bbox_centre, bbox_whs, orig_w, orig_h):
@@ -541,6 +565,10 @@ def predict_folder_batched(pose_shape_model_apply,
     results = {}
     wh = visualise_wh
     proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
+    n_total = len(order)
+    n_done = 0
+    t_start = time.monotonic()
+    t_first = None
 
     for (H, W), items in sorted(groups.items()):
         for lo in range(0, len(items), batch_size):
@@ -559,16 +587,29 @@ def predict_folder_batched(pose_shape_model_apply,
             key, sub = jax.random.split(key)
             out = core(sub, hr["cropped_image"], hr["joints2D"],
                        hr["joints2Dconfs"])
+            if t_first is None:
+                jax.tree.map(lambda x: x.block_until_ready(), out)
+                t_first = time.monotonic()
+                print(f"First batch done in {t_first - t_start:.1f}s "
+                      f"(includes compile).", flush=True)
 
+            # ONE host fetch per field per chunk (a per-image fetch pays a
+            # ~25 ms tunnel round-trip each on remote-attached TPUs).
+            pose_modes = np.asarray(out["pose_rotmats_mode"])
+            shape_means = np.asarray(out["shape_mean"])
+            cams = np.asarray(out["cam"])
+            vertex_vars = np.asarray(out["per_vertex_3Dvar"])
             for i in range(n_real):
                 fname = chunk[i][0]
                 results[fname] = {
-                    "pose_mode": np.asarray(out["pose_rotmats_mode"][i]),
-                    "shape_mean": np.asarray(out["shape_mean"][i]),
-                    "cam": np.asarray(out["cam"][i]),
-                    "per_vertex_uncertainty":
-                        np.asarray(out["per_vertex_3Dvar"][i]),
+                    "pose_mode": pose_modes[i],
+                    "shape_mean": shape_means[i],
+                    "cam": cams[i],
+                    "per_vertex_uncertainty": vertex_vars[i],
                 }
+            n_done += n_real
+            print(f"Predicted {n_done}/{n_total} images "
+                  f"({time.monotonic() - t_start:.1f}s elapsed).", flush=True)
 
             if not save_vis:
                 continue
@@ -619,6 +660,13 @@ def predict_folder_batched(pose_shape_model_apply,
                         + "_uncrop.png",
                         np.clip(composite[:, :, ::-1], 0,
                                 255).astype(np.uint8))
+
+    t_end = time.monotonic()
+    if t_first is not None and n_done > batch_size:
+        steady = (n_done - batch_size) / max(t_end - t_first, 1e-9)
+        print(f"Done: {n_done} images in {t_end - t_start:.1f}s "
+              f"({steady:.1f} img/s steady-state after the first batch).",
+              flush=True)
 
     if not save_vis:
         np.savez(os.path.join(save_dir, "outputs.npz"),

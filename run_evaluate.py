@@ -98,9 +98,12 @@ def run_evaluate(args):
     proxy_example = jnp.zeros((1, pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE))
-    variables = _load_predictor_variables(args.pose_shape_weights,
-                                          pose_shape_model, proxy_example)
-    pose_shape_apply = lambda x: pose_shape_model.apply(variables, x)
+    variables = jax.device_put(_load_predictor_variables(
+        args.pose_shape_weights, pose_shape_model, proxy_example))
+    # Params-explicit apply: weights as jit ARGUMENTS, not compiled-in
+    # constants (see run_predict.py — constants cost a tunnel download at
+    # trace time and a weight-sized serialized executable).
+    pose_shape_apply = pose_shape_model.apply
 
     save_path = args.save_path or os.path.join("./evaluations", args.dataset)
     os.makedirs(save_path, exist_ok=True)
@@ -134,7 +137,8 @@ def run_evaluate(args):
         num_samples_for_metrics=args.num_samples,
         save_path=save_path,
         save_per_frame_metrics=True,
-        mesh=mesh)
+        mesh=mesh,
+        pose_shape_vars=variables)
 
 
 if __name__ == "__main__":

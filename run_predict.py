@@ -18,7 +18,9 @@ def _load_predictor_variables(path, model, example_input):
     import jax
     if path is None:
         print("WARNING: no --pose_shape_weights given; using random init.")
-        return model.init(jax.random.PRNGKey(0), example_input)
+        # ONE compiled program; eager flax init would dispatch per-param ops
+        # over the TPU tunnel (~25 ms round-trip each).
+        return jax.jit(model.init)(jax.random.PRNGKey(0), example_input)
     if path.endswith((".tar", ".pth", ".pt")):
         import torch
         from hierarchicalprobabilistic3dhuman_tpu.models.pose_mf_shape_gaussian_net import (
@@ -35,7 +37,7 @@ def _load_hrnet_variables(path, model, example_input):
     import jax
     if path is None:
         print("WARNING: no --pose2D_hrnet_weights given; using random init.")
-        return model.init(jax.random.PRNGKey(1), example_input)
+        return jax.jit(model.init)(jax.random.PRNGKey(1), example_input)
     if path.endswith((".tar", ".pth", ".pt")):
         import torch
         from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import torch_to_flax_hrnet
@@ -92,16 +94,22 @@ def run_predict(args):
     hrnet_model = PoseHighResolutionNet(num_joints=hrnet_cfg.MODEL.NUM_JOINTS)
     hrnet_example = jnp.zeros((1, 3, hrnet_cfg.MODEL.IMAGE_SIZE[1],
                                hrnet_cfg.MODEL.IMAGE_SIZE[0]))
-    hrnet_vars = _load_hrnet_variables(args.pose2D_hrnet_weights, hrnet_model,
-                                       hrnet_example)
+    hrnet_vars = jax.device_put(_load_hrnet_variables(
+        args.pose2D_hrnet_weights, hrnet_model, hrnet_example))
+    # Params-explicit apply: the weights are jit ARGUMENTS of the predict
+    # stages, never compiled-in constants (tracing a closure over
+    # device-resident weights downloads them at the tunnel's ~1.6 MB/s and
+    # bloats the serialized executable by the weight size — ~400 MB for
+    # HRNet-W48, minutes of run_predict start-up).
     if args.bf16:
         # MXU-native inference: params + activations in bfloat16; the
         # keypoint argmax is robust to bf16 rounding (tests/test_hrnet.py::
         # test_bf16_inference_matches_f32). Heatmaps return as float32.
-        from hierarchicalprobabilistic3dhuman_tpu.utils.precision import bf16_apply
-        hrnet_apply = jax.jit(bf16_apply(hrnet_model.apply, hrnet_vars))
+        from hierarchicalprobabilistic3dhuman_tpu.utils.precision import (
+            bf16_apply_pure)
+        hrnet_apply = bf16_apply_pure(hrnet_model.apply)
     else:
-        hrnet_apply = jax.jit(lambda x: hrnet_model.apply(hrnet_vars, x))
+        hrnet_apply = hrnet_model.apply
     print("Loaded HRNet weights." if args.pose2D_hrnet_weights else "")
 
     # Canny
@@ -151,9 +159,9 @@ def run_predict(args):
     proxy_example = jnp.zeros((1, pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE))
-    predictor_vars = _load_predictor_variables(args.pose_shape_weights,
-                                               pose_shape_model, proxy_example)
-    pose_shape_apply = jax.jit(lambda x: pose_shape_model.apply(predictor_vars, x))
+    predictor_vars = jax.device_put(_load_predictor_variables(
+        args.pose_shape_weights, pose_shape_model, proxy_example))
+    pose_shape_apply = pose_shape_model.apply
     print(f"Loaded Distribution Predictor weights from {args.pose_shape_weights}"
           if args.pose_shape_weights else "")
 
@@ -189,7 +197,9 @@ def run_predict(args):
             joints2Dvisib_threshold=args.joints2Dvisib_threshold,
             save_vis=not args.no_vis,
             visualise_uncropped=args.visualise_uncropped,
-            mesh=mesh)
+            mesh=mesh,
+            pose_shape_vars=predictor_vars,
+            hrnet_vars=hrnet_vars)
 
     return predict_pose_mf_shape_gaussian_net(
         pose_shape_model_apply=pose_shape_apply,
@@ -204,7 +214,9 @@ def run_predict(args):
         joints2Dvisib_threshold=args.joints2Dvisib_threshold,
         visualise_uncropped=args.visualise_uncropped,
         visualise_samples=args.visualise_samples,
-        mesh=mesh)
+        mesh=mesh,
+        pose_shape_vars=predictor_vars,
+        hrnet_vars=hrnet_vars)
 
 
 if __name__ == "__main__":

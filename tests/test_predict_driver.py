@@ -197,3 +197,89 @@ def test_batched_folder_predict_with_vis(tmp_path):
         assert fig is not None and fig.shape == (2 * WH, 4 * WH, 3)
         unc = cv2.imread(str(save_dir / f"im{i}_uncrop.png"))
         assert unc is not None and unc.shape == (100, 90, 3)
+
+
+@pytest.mark.slow
+def test_params_explicit_core_matches_closure():
+    """make_predict_core(pose_shape_vars=...) — weights passed as jit
+    ARGUMENTS (the CLI path; closures over device weights cost a trace-time
+    download + weight-sized executables on tunnel TPUs) — must match the
+    legacy closure form.
+
+    Not bit-for-bit: weights-as-constants vs weights-as-arguments change
+    XLA's folding/fusion choices, so outputs agree only to fp noise
+    (measured <=5e-7 abs on CPU); atol=1e-5 leaves margin while staying far
+    below any geometrically meaningful delta."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        make_predict_core)
+
+    D = 32
+    cfg = get_pose_shape_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = D
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = PoseMFShapeGaussianNet(embed_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    smpl = SMPL.synthetic()
+    edge = CannyEdgeDetector(threshold=0.0)
+
+    kwargs = dict(pose_shape_cfg=cfg, smpl_model=smpl, edge_detect_model=edge,
+                  body_vis_renderer=None, hrnet_cfg=hrnet_cfg,
+                  render_vis=False, num_uncertainty_samples=2)
+    core_args = make_predict_core(model.apply, pose_shape_vars=variables,
+                                  **kwargs)
+    core_closure = make_predict_core(
+        jax.jit(lambda x: model.apply(variables, x)), **kwargs)
+
+    key = jax.random.PRNGKey(7)
+    rng = np.random.RandomState(11)
+    hr_cropped = jnp.asarray(rng.rand(2, 3, 384, 288), jnp.float32)
+    j2d = jnp.asarray(rng.rand(2, 17, 2) * 200, jnp.float32)
+    confs = jnp.ones((2, 17))
+    out_a = core_args(key, hr_cropped, j2d, confs)
+    out_c = core_closure(key, hr_cropped, j2d, confs)
+    for k in ("verts_mode", "pose_rotmats_mode", "per_vertex_3Dvar", "cam"):
+        np.testing.assert_allclose(np.asarray(out_a[k]),
+                                   np.asarray(out_c[k]), rtol=0, atol=1e-5,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_params_explicit_eval_step_matches_closure():
+    """_make_eval_step(pose_shape_vars=...) must match the closure form
+    (to fp noise — see test_params_explicit_core_matches_closure)."""
+    from hierarchicalprobabilistic3dhuman_tpu.evaluate.evaluate_pose_mf_shape_gaussian_net import (
+        _make_eval_step)
+
+    D = 32
+    cfg = get_pose_shape_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = D
+    model = PoseMFShapeGaussianNet(embed_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    smpl = SMPL.synthetic()
+    edge = CannyEdgeDetector(threshold=0.0)
+
+    kwargs = dict(edge_detect_model=edge, pose_shape_cfg=cfg, num_samples=2,
+                  compute_joints2d=False, compute_silhouettes=False,
+                  compute_samples=False, silhouette_renderer=None,
+                  static_gender=0)
+    step_args = _make_eval_step(model.apply, smpl, smpl, smpl,
+                                pose_shape_vars=variables, **kwargs)
+    step_closure = _make_eval_step(lambda x: model.apply(variables, x),
+                                   smpl, smpl, smpl, **kwargs)
+
+    rng = np.random.RandomState(5)
+    B = 2
+    batch = (jnp.asarray(rng.rand(B, 1, D, D), jnp.float32),
+             jnp.asarray(rng.rand(B, 17, D, D), jnp.float32),
+             jnp.asarray(rng.randn(B, 72) * 0.2, jnp.float32),
+             jnp.asarray(rng.randn(B, 10) * 0.5, jnp.float32),
+             jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B, 17, 2), jnp.float32),
+             jnp.zeros((B, D, D), jnp.float32))
+    key = jax.random.PRNGKey(3)
+    out_a = step_args(key, *batch)
+    out_c = step_closure(key, *batch)
+    for k in out_a:
+        np.testing.assert_allclose(np.asarray(out_a[k]),
+                                   np.asarray(out_c[k]), rtol=0, atol=1e-5,
+                                   err_msg=k)
