@@ -63,6 +63,29 @@ def select_centremost_person_box(detections, image_hw, threshold=0.8):
     return np.array([H / 2.0, W / 2.0], np.float32), float(H), float(W)
 
 
+def _is_nhwc(images):
+    """True for a (B, H, W, 3) batch (vs the canonical (B, 3, H, W))."""
+    return (images.ndim == 4 and images.shape[-1] == 3
+            and images.shape[1] != 3)
+
+
+def _as_float_rgb(images):
+    """uint8 [0,255] -> float32 [0,1] and NHWC -> NCHW, ON DEVICE; float
+    NCHW inputs pass through.
+
+    Accepting uint8 lets callers ship 4x less over the host->device link —
+    decoded photos are naturally uint8, and a tunnel-attached TPU moves only
+    ~10-40 MB/s, so a (16,512,512,3) float32 batch costs ~900 ms of upload
+    vs ~300 ms as uint8 (measured; see predict_folder_batched). Accepting
+    HWC keeps the host free of the ~100-300 ms strided transpose copy that
+    cv2-decoded images would otherwise need before upload."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if _is_nhwc(images):
+        images = jnp.transpose(images, (0, 3, 1, 2))
+    return images
+
+
 def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2,
                          hrnet_vars=None):
     """Build a per-image HRNet keypoint predictor with its device path jitted.
@@ -101,7 +124,7 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2,
     def _device_stage(variables, image, centre, height, width):
         cropped = batch_crop_affine(
             (in_w, in_h),
-            rgb=image[None],
+            rgb=_as_float_rgb(image)[None],
             bbox_centres=centre[None],
             bbox_heights=height[None],
             bbox_widths=width[None],
@@ -112,8 +135,12 @@ def make_hrnet_predictor(hrnet_apply, hrnet_config, bbox_scale_factor=1.2,
 
     def predict(image, object_detect_fn=None, object_detect_threshold=0.8):
         H, W = image.shape[1:]
-        detections = (object_detect_fn(image) if object_detect_fn is not None
-                      else None)
+        det_input = image
+        if object_detect_fn is not None and image.dtype == jnp.uint8:
+            # detectors take float [0,1]; only materialise it when needed
+            det_input = np.asarray(image).astype(np.float32) / 255.0
+        detections = (object_detect_fn(det_input)
+                      if object_detect_fn is not None else None)
         centre, height, width = select_centremost_person_box(
             detections, (H, W), threshold=object_detect_threshold)
         if height > width * aspect:
@@ -148,10 +175,12 @@ def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
     :param hrnet_vars: see make_hrnet_predictor — when given, `hrnet_apply`
         is the params-explicit `hrnet_apply(variables, images)` form and the
         weights are jit ARGUMENTS, not compiled-in constants.
-    :return: predict_batch(images (B, 3, H, W) in [0,1],
-        object_detect_fn=None, object_detect_threshold=0.8) -> dict with
+    :return: predict_batch(images, object_detect_fn=None,
+        object_detect_threshold=0.8, host_images=None) -> dict with
         joints2D (B, 17, 2), joints2Dconfs (B, 17), cropped_image
-        (B, 3, 384, 288), bbox_centres (B, 2) np, bbox_heights/widths (B,) np
+        (B, 3, 384, 288), bbox_centres (B, 2) np, bbox_heights/widths (B,) np.
+        `images` may be (B, 3, H, W) float [0,1] or — the cheap-upload form —
+        (B, H, W, 3) uint8 [0,255] (layout/dtype converted on device).
     """
     import jax
 
@@ -169,7 +198,7 @@ def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
     @jax.jit
     def _device_stage(variables, images, centres, heights, widths):
         cropped = batch_crop_affine(
-            (in_w, in_h), rgb=images, bbox_centres=centres,
+            (in_w, in_h), rgb=_as_float_rgb(images), bbox_centres=centres,
             bbox_heights=heights, bbox_widths=widths,
             orig_scale_factor=bbox_scale_factor)["rgb"]  # (B, 3, 384, 288)
         heatmaps = apply_fn(variables, (cropped - mean) / std)
@@ -177,14 +206,29 @@ def make_hrnet_batch_predictor(hrnet_apply, hrnet_config,
         return joints2D * kp_rescale, confs, cropped
 
     def predict_batch(images, object_detect_fn=None,
-                      object_detect_threshold=0.8):
+                      object_detect_threshold=0.8, host_images=None):
+        """images may be float [0,1] or uint8 [0,255] (converted on device),
+        and may already LIVE on device (the folder driver uploads uint8 on a
+        lookahead thread so the transfer overlaps the previous chunk's
+        compute). host_images: optional host-side per-image array/list for
+        the detector, so a device-resident `images` is not fetched back."""
         B = images.shape[0]
-        H, W = images.shape[2:]
+        H, W = (images.shape[1:3] if _is_nhwc(images) else images.shape[2:4])
         centres = np.empty((B, 2), np.float32)
         heights = np.empty((B,), np.float32)
         widths = np.empty((B,), np.float32)
+        det_src = None
+        if object_detect_fn is not None:
+            det_src = host_images
+            if det_src is None:
+                arr = np.asarray(images)
+                if arr.dtype == np.uint8:
+                    arr = arr.astype(np.float32) / 255.0
+                if arr.shape[-1] == 3 and arr.shape[1] != 3:
+                    arr = arr.transpose(0, 3, 1, 2)
+                det_src = arr
         for i in range(B):
-            det = (object_detect_fn(images[i])
+            det = (object_detect_fn(det_src[i])
                    if object_detect_fn is not None else None)
             c, h, w = select_centremost_person_box(
                 det, (H, W), threshold=object_detect_threshold)

@@ -372,7 +372,9 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
     for image_fname in fnames:
         image_bgr = cv2.imread(os.path.join(image_dir, image_fname))
         orig_image = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
-        image = jnp.asarray(orig_image.transpose(2, 0, 1), jnp.float32) / 255.0
+        # uint8 on the wire (4x less upload; converted to float on device —
+        # see predict_hrnet._as_float_rgb).
+        image = jnp.asarray(np.ascontiguousarray(orig_image.transpose(2, 0, 1)))
 
         hrnet_output = hrnet_predictor(
             image, object_detect_fn=object_detect_fn,
@@ -554,36 +556,87 @@ def predict_folder_batched(pose_shape_model_apply,
 
     fnames = sorted(f for f in os.listdir(image_dir)
                     if f.endswith((".jpg", ".png")))
-    # Group by resolution so every batch shares one compiled program.
-    groups = {}
-    order = {}
-    for fname, rgb in _prefetch_images(image_dir, fnames):
-        groups.setdefault(rgb.shape[:2], []).append((fname, rgb))
-        order[fname] = len(order)
 
     key = jax.random.PRNGKey(rng_seed)
     results = {}
     wh = visualise_wh
     proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
-    n_total = len(order)
+    n_total = len(fnames)
     n_done = 0
     t_start = time.monotonic()
     t_first = None
 
-    for (H, W), items in sorted(groups.items()):
-        for lo in range(0, len(items), batch_size):
-            chunk = items[lo:lo + batch_size]
-            n_real = len(chunk)
-            # pad the final partial chunk to the compiled batch size
-            while len(chunk) < batch_size and len(items) >= batch_size:
-                chunk = chunk + [chunk[-1]]
-            B = len(chunk)
-            images = np.stack([c[1] for c in chunk]).transpose(0, 3, 1, 2) \
-                .astype(np.float32) / 255.0
+    # Two-stage host pipeline feeding the device (bounded queues, so peak
+    # host RAM is a few chunks regardless of folder size):
+    #   decode thread: imread -> per-resolution accumulator -> HWC uint8
+    #     chunk stacks (all images of a chunk share one resolution, so every
+    #     chunk reuses a compiled program);
+    #   upload thread: jax.device_put of the stacked chunk.
+    # uint8 HWC on the wire: a tunnel-attached TPU moves ~10-40 MB/s, so a
+    # (16,512,512,3) float32 batch costs ~900 ms of upload vs ~300 ms as
+    # uint8, while the device step itself is ~30 ms; the CHW transpose and
+    # /255 happen on device (predict_hrnet._as_float_rgb) because a host
+    # transpose is a ~100-300 ms strided copy on a small host. Splitting
+    # decode from upload lets the two ~equal host costs overlap each other
+    # AND the device compute (one combined worker measured worker-bound at
+    # ~58 img/s; split, the same folder streams at the upload bound).
+    def _stream_chunks():
+        import queue
+        import threading
+        qa = queue.Queue(maxsize=2)
+        qb = queue.Queue(maxsize=2)
+        _END = object()
 
+        def decode_worker():
+            accum = {}
+            full_seen = set()
+            for fname, rgb in _prefetch_images(image_dir, fnames):
+                res = rgb.shape[:2]
+                items = accum.setdefault(res, [])
+                items.append((fname, rgb))
+                if len(items) == batch_size:
+                    full_seen.add(res)
+                    qa.put((items, len(items), np.stack([c[1] for c in items])))
+                    accum[res] = []
+            for res in sorted(accum):
+                items = accum[res]
+                if not items:
+                    continue
+                n_real = len(items)
+                if res in full_seen:
+                    # pad the final partial chunk up to the batch size the
+                    # resolution already compiled a program for
+                    while len(items) < batch_size:
+                        items = items + [items[-1]]
+                qa.put((items, n_real, np.stack([c[1] for c in items])))
+            qa.put(_END)
+
+        def upload_worker():
+            while True:
+                item = qa.get()
+                if item is _END:
+                    qb.put(_END)
+                    return
+                chunk, n_real, u8 = item
+                qb.put((chunk, n_real, jax.device_put(u8)))
+
+        threading.Thread(target=decode_worker, daemon=True).start()
+        threading.Thread(target=upload_worker, daemon=True).start()
+        while True:
+            item = qb.get()
+            if item is _END:
+                return
+            yield item
+
+    for chunk, n_real, images in _stream_chunks():
+            H, W = chunk[0][1].shape[:2]
             hr = hrnet_batch(images, object_detect_fn=object_detect_fn,
                              object_detect_threshold=pose_shape_cfg.DATA
-                             .BBOX_THRESHOLD)
+                             .BBOX_THRESHOLD,
+                             host_images=[
+                                 c[1].transpose(2, 0, 1).astype(np.float32)
+                                 / 255.0 for c in chunk]
+                             if object_detect_fn is not None else None)
             key, sub = jax.random.split(key)
             out = core(sub, hr["cropped_image"], hr["joints2D"],
                        hr["joints2Dconfs"])
