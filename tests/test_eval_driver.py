@@ -73,6 +73,7 @@ def _run(eval_setup, tmpdir, sort_by_gender, metrics=METRICS, **kwargs):
         sort_by_gender=sort_by_gender, **kwargs)
 
 
+@pytest.mark.slow
 def test_gender_sorted_eval_matches_mixed_path(eval_setup, tmp_path):
     d_mixed = tmp_path / "mixed"
     d_sorted = tmp_path / "sorted"

@@ -52,6 +52,30 @@ def test_bf16_inference_matches_f32():
     assert np.abs(true_max - at_bf16_peak).max() < 0.02 * scale
 
 
+def test_conversion_tree_matches_model():
+    """Converter output must match the flax model's variable tree exactly
+    (shapes + paths) — the cheap structural half of conversion parity; the
+    full numerical forward parity runs in the slow tier."""
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from models.pose2D_hrnet import PoseHighResolutionNet as RefHRNet
+    from hierarchicalprobabilistic3dhuman_tpu.configs import get_pose2d_hrnet_cfg_defaults
+
+    torch.manual_seed(0)
+    ref = RefHRNet(get_pose2d_hrnet_cfg_defaults())
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    converted = torch_to_flax_hrnet(sd)
+
+    model = PoseHighResolutionNet()
+    init_vars = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32))))
+    conv_shapes = jax.tree_util.tree_map(lambda a: np.shape(a), converted)
+    init_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), init_vars)
+    assert conv_shapes == init_shapes
+
+
+@pytest.mark.slow
 def test_conversion_parity_with_reference():
     import torch
     if "/root/reference" not in sys.path:
@@ -119,6 +143,7 @@ def test_folded_basic_block_matches_unfolded():
             == jax.tree_util.tree_structure(v2))
 
 
+@pytest.mark.slow
 def test_folded_branch0_matches_unfolded():
     """Full model: fold_branch0_width=True == False on the same variables
     (small 64x64 input keeps the trace cheap; all stages + fuse paths run)."""

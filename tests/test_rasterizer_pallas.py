@@ -34,23 +34,23 @@ def _compare(verts, faces, attrs, hw):
 
 def test_triangles_match_xla(interpret_pallas):
     verts = jnp.asarray(np.array([[
-        [8.0, 8.0, 2.0], [56.0, 8.0, 2.0], [8.0, 56.0, 2.0],
-        [0.0, 0.0, 5.0], [120.0, 0.0, 5.0], [0.0, 120.0, 5.0],
+        [4.0, 4.0, 2.0], [28.0, 4.0, 2.0], [4.0, 28.0, 2.0],
+        [0.0, 0.0, 5.0], [60.0, 0.0, 5.0], [0.0, 60.0, 5.0],
     ]], np.float32))
     faces = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
     attrs = jnp.asarray(np.array([[[1, 0]] * 3 + [[0, 1]] * 3], np.float32))
-    _compare(verts, faces, attrs, (128, 128))
+    _compare(verts, faces, attrs, (64, 64))
 
 
 def test_random_mesh_matches_xla(interpret_pallas):
     """Random small mesh: binning + z-buffer semantics identical to XLA."""
     V, F, B = 60, 40, 2
     verts = jnp.asarray(np.stack([
-        np.stack([RNG.rand(V) * 120, RNG.rand(V) * 120, RNG.rand(V) * 3 + 1],
+        np.stack([RNG.rand(V) * 60, RNG.rand(V) * 60, RNG.rand(V) * 3 + 1],
                  axis=-1) for _ in range(B)]).astype(np.float32))
     faces = jnp.asarray(RNG.randint(0, V, (F, 3)).astype(np.int32))
     attrs = jnp.asarray(RNG.rand(B, V, 5).astype(np.float32))
-    _compare(verts, faces, attrs, (128, 128))
+    _compare(verts, faces, attrs, (64, 64))
 
 
 def test_face_tables_pack(interpret_pallas):

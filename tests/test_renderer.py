@@ -56,7 +56,7 @@ def test_sphere_projection_position_matches_pinhole():
     v, f = make_uv_sphere(radius=0.2)
     centre = np.array([0.3, -0.2, 2.5], np.float32)
     verts = jnp.asarray((v + centre)[None])
-    focal, wh = 300.0, 256
+    focal, wh = 300.0, 128
     # screen transform: x = f*X/Z + wh/2
     z = verts[..., 2:3]
     screen = jnp.concatenate([focal * verts[..., :2] / z + wh / 2, z], axis=-1)
@@ -78,10 +78,10 @@ def test_depth_is_nearest_surface():
     v, f = make_uv_sphere(radius=0.5)
     verts = jnp.asarray((v + np.array([0, 0, 3.0], np.float32))[None])
     z = verts[..., 2:3]
-    screen = jnp.concatenate([300.0 * verts[..., :2] / z + 128, z], axis=-1)
-    out = rasterize(screen, jnp.asarray(f), jnp.ones((1, v.shape[0], 1)), (256, 256))
+    screen = jnp.concatenate([300.0 * verts[..., :2] / z + 64, z], axis=-1)
+    out = rasterize(screen, jnp.asarray(f), jnp.ones((1, v.shape[0], 1)), (128, 128))
     d = np.asarray(out["depth"][0])
-    centre_depth = d[128, 128]
+    centre_depth = d[64, 64]
     np.testing.assert_allclose(centre_depth, 2.5, atol=0.05)  # front surface
 
 
@@ -104,13 +104,13 @@ def test_dp_preprocessing():
 
 def test_renderer_iuv_and_silhouette():
     smpl = SMPL.synthetic()
-    out_smpl = smpl(batch_size=2)
-    renderer = TexturedIUVRenderer(img_wh=128, projection_type="orthographic",
+    out_smpl = smpl(batch_size=1)
+    renderer = TexturedIUVRenderer(img_wh=64, projection_type="orthographic",
                                    orthographic_scale=0.9)
     out = renderer(out_smpl["vertices"])
     iuv = np.asarray(out["iuv_images"])
     sil = np.asarray(out["silhouettes"])
-    assert iuv.shape == (2, 128, 128, 3)
+    assert iuv.shape == (1, 64, 64, 3)
     assert sil.sum() > 100  # body covers a reasonable area
     # part index channel: 0 on background, ~[1, 24] on body. At part
     # boundaries the I channel blends between part values (barycentric

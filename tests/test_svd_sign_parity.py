@@ -82,7 +82,7 @@ def converted_pair():
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
     variables = torch_to_flax_predictor(sd)
 
-    x = RNG.rand(4, 18, 64, 64).astype(np.float32)
+    x = RNG.rand(2, 18, 32, 32).astype(np.float32)
     with torch.no_grad():
         (F_r, U_r, S_r, V_r, mode_r, shape_dist_r, glob_r, cam_r) = \
             ref(torch.from_numpy(x))

@@ -73,6 +73,7 @@ def test_vertex_vs_pixel_texture_delta_quantified(scene):
     # (SURF/cloth textures are low-frequency relative to 1-3 px faces).
 
 
+@pytest.mark.slow
 def test_packed_per_vertex_texels_match_atlas_sampling(scene):
     """Per-vertex texel records (packed by data/pack_training_stores.py)
     render identically to on-device atlas sampling in vertex mode, up to

@@ -55,11 +55,23 @@ def test_synth_data_fn(tiny_setup):
     np.testing.assert_allclose(np.asarray(targets["verts"]),
                                np.asarray(direct["vertices"]), atol=1e-4)
 
-    # uint8 inputs give (nearly) the same result as float inputs
-    bg_u8 = (np.asarray(bg) * 255).astype(np.uint8)
-    tex_u8 = (np.asarray(tex) * 255).astype(np.uint8)
+
+@pytest.mark.slow
+def test_synth_data_fn_uint8_inputs(tiny_setup):
+    """uint8 background/texture inputs give the same result as float inputs
+    (separate test: the dtype change forces a second full synth-graph
+    compile, ~40 s on this host)."""
+    from hierarchicalprobabilistic3dhuman_tpu.train.train_pose_mf_shape_gaussian_net import (
+        make_synth_data_fn)
+    cfg, edge, smpl, renderer = tiny_setup
+    B, D = 2, 32
+    synth = jax.jit(make_synth_data_fn(cfg, smpl, renderer, edge))
+    key = jax.random.PRNGKey(0)
+    pose = jnp.asarray((RNG.randn(B, 72) * 0.3).astype(np.float32))
+    bg_u8 = (RNG.rand(B, 3, D, D) * 255).astype(np.uint8)
+    tex_u8 = (RNG.rand(B, 60, 40, 3) * 255).astype(np.uint8)
     proxy2, _ = synth(key, pose, jnp.asarray(bg_u8), jnp.asarray(tex_u8))
-    assert proxy2.shape == proxy.shape
+    assert proxy2.shape == (B, 18, D, D)
     assert bool(jnp.all(jnp.isfinite(proxy2)))
 
 
