@@ -85,6 +85,12 @@ def main():
     D = pose_shape_cfg.DATA.PROXY_REP_SIZE                  # 256
     in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE                 # (288, 384)
 
+    # EAGER init is load-bearing: the persisted bench_loop executable is
+    # layout-specialized to eager-init parameter buffers. jax.jit(init)
+    # yields different device layouts, and feeding those to the cached
+    # executable inserts a silent ~250 MB on-device relayout into every
+    # timed dispatch (measured 556 -> 136 img/s). Changing this requires
+    # recompiling .cache/jax_bench.
     hrnet = PoseHighResolutionNet(num_joints=hrnet_cfg.MODEL.NUM_JOINTS)
     hrnet_vars = hrnet.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 3, in_h, in_w)))
