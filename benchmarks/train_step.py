@@ -9,7 +9,8 @@ RNG key so synthetic-data generation genuinely recomputes, and the host
 fetches ONE scalar — the axon tunnel's per-call latency and fetch bandwidth
 never touch the measurement.
 
-Usage: python benchmarks/train_step.py [batch_size] [iters] [stage]
+Usage: python benchmarks/train_step.py [batch_size] [iters] [stage] [bf16]
+(4th arg "bf16" benchmarks the --bf16_encoder mixed-precision mode.)
 """
 
 import os
@@ -42,6 +43,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 72
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     stage = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    bf16_encoder = len(sys.argv) > 4 and sys.argv[4] == "bf16"
 
     cfg = get_pose_shape_cfg_defaults()
     cfg.TRAIN.BATCH_SIZE = B
@@ -53,7 +55,8 @@ def main():
         perspective_focal_length=cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH,
         render_rgb=True)
     edge = CannyEdgeDetector(threshold=cfg.DATA.EDGE_THRESHOLD)
-    model = PoseMFShapeGaussianNet()
+    model = PoseMFShapeGaussianNet(
+        encoder_dtype=jnp.bfloat16 if bf16_encoder else None)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
     optimizer = optax.adam(cfg.TRAIN.LR)
 
@@ -96,7 +99,8 @@ def main():
     acc = float(np.asarray(acc))
     dt = (time.perf_counter() - t0) / iters
 
-    print(f"stage{stage} train step  B={B}  "
+    mode = " bf16-encoder" if bf16_encoder else ""
+    print(f"stage{stage} train step{mode}  B={B}  "
           f"{dt * 1e3:.1f} ms/step  {B / dt:.1f} img/s  "
           f"(loss sum {acc:.1f}; compile+warm {compile_and_first:.0f}s)")
 

@@ -107,7 +107,8 @@ def run_train(args):
         embed_dim=pose_shape_cfg.MODEL.EMBED_DIM,
         delta_i=pose_shape_cfg.MODEL.DELTA_I,
         delta_i_weight=pose_shape_cfg.MODEL.DELTA_I_WEIGHT,
-        num_smpl_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS)
+        num_smpl_betas=pose_shape_cfg.MODEL.NUM_SMPL_BETAS,
+        encoder_dtype=jnp.bfloat16 if args.bf16_encoder else None)
     proxy_example = jnp.zeros((1, pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE,
                                pose_shape_cfg.DATA.PROXY_REP_SIZE))
@@ -213,6 +214,11 @@ def build_parser():
                         help="jax.distributed coordinator (multi-host only).")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--bf16_encoder", action="store_true",
+                        help="Run the ResNet encoder convs in bfloat16 "
+                             "(mixed precision: params/BatchNorm/head stay "
+                             "f32, checkpoints unchanged). Default f32 "
+                             "matches the reference's training numerics.")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of training here.")
     return parser

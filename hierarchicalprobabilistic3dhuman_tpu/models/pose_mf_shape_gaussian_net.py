@@ -24,7 +24,7 @@ can differ where the torch run's LAPACK sign choices differed — re-finetuning
 restores exact parity.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import jax
@@ -93,6 +93,11 @@ class PoseMFShapeGaussianNet(nn.Module):
     #           conventions — use for converted-checkpoint inference parity
     #           (see ops/svd3.py:svd3x3_lapack; not differentiable).
     svd_impl: str = "jacobi"
+    # Encoder conv COMPUTE dtype (mixed precision). None = f32 (reference
+    # parity, the default); jnp.bfloat16 doubles encoder MXU throughput.
+    # Params, BatchNorm and the distribution head always stay f32, so the
+    # parameter tree / converters are identical in both modes.
+    encoder_dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, train: bool = False, input_feats=None):
@@ -100,10 +105,12 @@ class PoseMFShapeGaussianNet(nn.Module):
         num_joints = len(parents_dict)
 
         if self.num_resnet_layers == 18:
-            encoder = resnet18(in_channels=self.num_in_channels)
+            encoder = resnet18(in_channels=self.num_in_channels,
+                               dtype=self.encoder_dtype)
             fc1_dim = 512
         elif self.num_resnet_layers == 50:
-            encoder = resnet50(in_channels=self.num_in_channels)
+            encoder = resnet50(in_channels=self.num_in_channels,
+                               dtype=self.encoder_dtype)
             fc1_dim = 1024
         else:
             raise ValueError(f"Unsupported resnet depth {self.num_resnet_layers}")

@@ -19,25 +19,30 @@ class BasicBlock(nn.Module):
     strides: int = 1
     downsample: bool = False
     expansion: int = 1
+    dtype: Any = None   # conv COMPUTE dtype (params stay f32); None = f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, name="bn1", dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(1, 1),
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+                    dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(y)
+                         epsilon=1e-5, name="bn2", dtype=jnp.float32)(y)
         if self.downsample:
             residual = nn.Conv(self.features * self.expansion, (1, 1),
                                strides=(self.strides, self.strides),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, name="downsample_conv",
+                               dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="downsample_bn")(residual)
+                                    epsilon=1e-5, name="downsample_bn",
+                                    dtype=jnp.float32)(residual)
         return nn.relu(y + residual)
 
 
@@ -46,46 +51,59 @@ class Bottleneck(nn.Module):
     strides: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = None   # conv COMPUTE dtype (params stay f32); None = f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, name="bn1", dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+                    dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(y)
+                         epsilon=1e-5, name="bn2", dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
-                    name="conv3")(y)
+                    name="conv3", dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn3")(y)
+                         epsilon=1e-5, name="bn3", dtype=jnp.float32)(y)
         if self.downsample:
             residual = nn.Conv(self.features * self.expansion, (1, 1),
                                strides=(self.strides, self.strides),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, name="downsample_conv",
+                               dtype=self.dtype)(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="downsample_bn")(residual)
+                                    epsilon=1e-5, name="downsample_bn",
+                                    dtype=jnp.float32)(residual)
         return nn.relu(y + residual)
 
 
 class ResNet(nn.Module):
-    """Encoder trunk; returns (B, C_feat) global-average-pooled features."""
+    """Encoder trunk; returns (B, C_feat) global-average-pooled features.
+
+    dtype is the CONV compute dtype only (mixed precision): params and
+    BatchNorm statistics/arithmetic stay float32, so checkpoints and the
+    torch converter are unaffected. None = full f32 (reference parity,
+    the default); jnp.bfloat16 doubles MXU throughput on the encoder
+    convs (opt in via run_train.py --bf16_encoder).
+    """
     block: Any
     layers: Sequence[int]
     in_channels: int = 18
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, input_layout: str = "NCHW"):
         if input_layout == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, name="conv1", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, name="bn1", dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -96,19 +114,21 @@ class ResNet(nn.Module):
                 downsample = (i == 0) and (
                     strides != 1 or x.shape[-1] != features * (4 if self.block is Bottleneck else 1))
                 x = self.block(features=features, strides=strides,
-                               downsample=downsample,
+                               downsample=downsample, dtype=self.dtype,
                                name=f"layer{stage + 1}_{i}")(x, train=train)
             features *= 2
 
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, C)
 
 
-def resnet18(in_channels=18):
-    return ResNet(block=BasicBlock, layers=(2, 2, 2, 2), in_channels=in_channels)
+def resnet18(in_channels=18, dtype=None):
+    return ResNet(block=BasicBlock, layers=(2, 2, 2, 2),
+                  in_channels=in_channels, dtype=dtype)
 
 
-def resnet50(in_channels=18):
-    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), in_channels=in_channels)
+def resnet50(in_channels=18, dtype=None):
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3),
+                  in_channels=in_channels, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

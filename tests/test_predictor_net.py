@@ -139,3 +139,28 @@ def test_gradients_flow_through_hierarchy():
     # The deepest joint's MLP gets gradient signal
     g22 = np.asarray(g["fc_pose_22_1"]["kernel"])
     assert np.abs(g22).max() > 0
+
+
+def test_bf16_encoder_mode_same_params_close_outputs():
+    """Mixed-precision encoder (--bf16_encoder): the parameter/batch-stats
+    trees are IDENTICAL to the f32 model (params stay f32 -> checkpoints and
+    torch conversion are mode-independent) and outputs stay close — only the
+    encoder conv compute dtype changes (models/resnet.py)."""
+    x = jnp.asarray(RNG.rand(2, 18, 32, 32).astype(np.float32))
+    f32 = PoseMFShapeGaussianNet()
+    b16 = PoseMFShapeGaussianNet(encoder_dtype=jnp.bfloat16)
+    v32 = f32.init(jax.random.PRNGKey(0), x)
+    v16 = b16.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v32) == jax.tree.structure(v16)
+    for a, b in zip(jax.tree.leaves(v32), jax.tree.leaves(v16)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o32 = f32.apply(v32, x)
+    o16 = b16.apply(v32, x)   # same weights, bf16 conv compute
+    assert o16["pose_params_F"].dtype == jnp.float32
+    # bf16 convs round inputs/weights to 8-bit mantissa; the head (f32)
+    # amplifies nothing pathological — features agree to ~1e-2.
+    np.testing.assert_allclose(np.asarray(o16["shape_mean"]),
+                               np.asarray(o32["shape_mean"]), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(o16["cam"]),
+                               np.asarray(o32["cam"]), atol=5e-2)
