@@ -13,6 +13,35 @@ import argparse
 import os
 
 
+def resolve_encoder_precision(experiment_dir, bf16_flag, resuming):
+    """Persist/restore the encoder compute precision for an experiment.
+
+    Encoder precision is experiment state, not a per-invocation flag: a
+    resumed run must keep the mode it trained with (--bf16_encoder
+    checkpoints are by design identical to f32 ones, so nothing else would
+    catch a silent mid-run precision switch). Stored as a sidecar file
+    rather than a cfg key to keep the yacs tree bit-identical to the
+    reference's.
+
+    :returns: the effective bf16 flag (the saved mode wins on resume).
+    """
+    marker = os.path.join(experiment_dir, "encoder_precision.txt")
+    if not resuming:
+        with open(marker, "w") as f:
+            f.write("bfloat16" if bf16_flag else "float32")
+        return bf16_flag
+    if os.path.exists(marker):
+        with open(marker) as f:
+            saved_mode = f.read().strip()
+        resumed_bf16 = saved_mode == "bfloat16"
+        if bf16_flag != resumed_bf16:
+            print(f"WARNING: experiment was trained with encoder precision "
+                  f"'{saved_mode}'; ignoring the command line and resuming "
+                  f"in that mode.")
+        return resumed_bf16
+    return bf16_flag
+
+
 def run_train(args):
     import jax
     from hierarchicalprobabilistic3dhuman_tpu.runtime import cli_cache
@@ -46,6 +75,8 @@ def run_train(args):
     if args.resume_from_epoch is not None:
         # Resume: load saved config + checkpoint (reference :45-50)
         pose_shape_cfg.merge_from_file(cfg_save_path)
+        args.bf16_encoder = resolve_encoder_precision(
+            experiment_dir, args.bf16_encoder, resuming=True)
         ckpt_path = checkpoint_path(model_save_dir, args.resume_from_epoch)
         print(f"\nResuming from {ckpt_path}")
         checkpoint = load_training_checkpoint(ckpt_path)
@@ -54,6 +85,8 @@ def run_train(args):
             pose_shape_cfg.merge_from_list(args.pose_shape_cfg_opts)
         with open(cfg_save_path, "w") as f:
             f.write(pose_shape_cfg.dump())
+        resolve_encoder_precision(experiment_dir, args.bf16_encoder,
+                                  resuming=False)
         print(f"\nSaved config to {cfg_save_path}")
 
     # Datasets (reference :54-69); synthetic fallback when files are absent.

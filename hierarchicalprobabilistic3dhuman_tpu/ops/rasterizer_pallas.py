@@ -147,7 +147,8 @@ def build_tile_chunk_lists(chunk_ranges, image_hw, tile_h, tile_w):
     :param chunk_ranges: (B, NC, 4) int32 [row_min, row_max, col_min,
         col_max] inclusive per-chunk screen bboxes (from pack_face_tables)
     :param image_hw: (H, W)
-    :return: counts (B, T) int32 accepted chunks per tile,
+    :return: counts (B, T, 1) int32 accepted chunks per tile (trailing 1
+             kept for the Mosaic SMEM sublane rule — see below),
              lists (B, T, NC) int32 — accepted chunk ids first (ascending),
              tiles ordered row-major to match the kernel grid.
     """

@@ -14,6 +14,7 @@ Regenerate after an INTENTIONAL numerics change:
 devices, jax_disable_most_optimizations).
 """
 
+import functools
 import os
 
 import numpy as np
@@ -37,6 +38,12 @@ _GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
 _STEPS_PER_STAGE = 8
 _B, _D = 2, 32
 _METRICS = ["PVE", "PVE-SC", "MPJPE"]
+
+
+@functools.lru_cache(maxsize=2)
+def _run_trajectory_cached(encoder_dtype=None):
+    """Both slow tests consume the f32 trajectory; run it once per session."""
+    return _run_trajectory(encoder_dtype)
 
 
 def _run_trajectory(encoder_dtype=None):
@@ -80,7 +87,7 @@ def _run_trajectory(encoder_dtype=None):
 
 @pytest.mark.slow
 def test_golden_training_trajectory():
-    losses, pve_means, checksum = _run_trajectory()
+    losses, pve_means, checksum = _run_trajectory_cached()
     assert np.all(np.isfinite(losses))
 
     if os.environ.get("GOLDEN_REGEN"):
@@ -121,8 +128,8 @@ def test_bf16_encoder_training_tracks_f32():
     steps: summed loss differed 7.6% — benchmarks/train_step.py .. bf16).
     The tight per-mode forward-closeness check lives in
     tests/test_predictor_net.py::test_bf16_encoder_mode_same_params_close_outputs."""
-    f32_losses, f32_pve, _ = _run_trajectory()
-    b16_losses, b16_pve, _ = _run_trajectory(encoder_dtype=jnp.bfloat16)
+    f32_losses, f32_pve, _ = _run_trajectory_cached()
+    b16_losses, b16_pve, _ = _run_trajectory_cached(encoder_dtype=jnp.bfloat16)
     assert np.all(np.isfinite(b16_losses)) and np.all(np.isfinite(b16_pve))
     rel = np.abs(b16_losses - f32_losses) / np.abs(f32_losses)
     assert np.median(rel) < 0.25 and rel.mean() < 0.5, (

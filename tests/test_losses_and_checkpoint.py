@@ -210,3 +210,29 @@ def test_j2d_error_sorting_orders_by_error():
     cam = jnp.asarray([[0.9, 0.0, 0.0]])
     out = joints2D_error_sorted_verts_sampling(verts, joints, heatmaps, cam)
     assert out.shape == verts.shape
+
+
+def test_encoder_precision_persists_across_resume(tmp_path):
+    """--bf16_encoder is experiment state: a fresh run records the mode in
+    the experiment dir and a resume restores it even when the flag is
+    omitted (or contradicts) — checkpoints are mode-identical by design, so
+    this sidecar is the only guard against a silent mid-run precision
+    switch (cli/train.py:resolve_encoder_precision)."""
+    from hierarchicalprobabilistic3dhuman_tpu.cli.train import (
+        resolve_encoder_precision)
+
+    exp = str(tmp_path)
+    # Fresh bf16 run writes the marker and keeps the flag.
+    assert resolve_encoder_precision(exp, True, resuming=False) is True
+    with open(tmp_path / "encoder_precision.txt") as f:
+        assert f.read().strip() == "bfloat16"
+    # Resume without the flag: the saved mode wins.
+    assert resolve_encoder_precision(exp, False, resuming=True) is True
+    # Fresh f32 run overwrites; resume with a contradicting flag loses.
+    assert resolve_encoder_precision(exp, False, resuming=False) is False
+    assert resolve_encoder_precision(exp, True, resuming=True) is False
+    # Legacy experiment without a marker: honour the command line.
+    legacy = str(tmp_path / "legacy")
+    import os
+    os.makedirs(legacy)
+    assert resolve_encoder_precision(legacy, True, resuming=True) is True
