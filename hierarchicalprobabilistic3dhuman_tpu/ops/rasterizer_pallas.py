@@ -48,6 +48,28 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 1e30
 PIXEL_BLOCK = 256
 TILE_W = 16
+# Per-image chunk work lists live in SMEM as an (n_tiles, NC) int32 block
+# (double-buffered by the pipeline). TPU SMEM is ~1 MB: a 512^2 render at
+# 16x16 tiles is 1024 tiles x 108 chunks x 4 B x 2 buffers ~ 0.9 MB and
+# fails to compile. _choose_tile_dims grows the tile until the list block
+# fits this budget (256^2 stays at 16x16; 512^2 becomes 32x32).
+SMEM_LIST_BUDGET_BYTES = 128 * 1024
+
+
+def _choose_tile_dims(H, W, n_chunks):
+    """Pick (tile_h, tile_w) — the measured-fastest 16x16 when the SMEM
+    work-list block fits, else doubled alternately until it does."""
+    tile_w = min(W, TILE_W)
+    tile_h = min(H, PIXEL_BLOCK // tile_w)
+    while ((H // tile_h) * (W // tile_w) * n_chunks * 4
+           > SMEM_LIST_BUDGET_BYTES):
+        if tile_h <= tile_w and tile_h < H:
+            tile_h *= 2
+        elif tile_w < W:
+            tile_w *= 2
+        else:
+            break  # both dims maxed: single tile per image, nothing to cull
+    return tile_h, tile_w
 # 128 = one VPU lane width; tighter chunks bin better (measured 1.5x over 256
 # on v5e at 256^2; 64 fails Mosaic lane constraints).
 FACE_CHUNK = 128
@@ -275,8 +297,7 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
     """
     B = geom_t.shape[0]
     H, W = image_hw
-    tile_w = min(W, TILE_W)
-    tile_h = min(H, PIXEL_BLOCK // tile_w)
+    tile_h, tile_w = _choose_tile_dims(H, W, geom_t.shape[2] // FACE_CHUNK)
     P = tile_h * tile_w
     assert H % tile_h == 0 and W % tile_w == 0, (H, W, tile_h, tile_w)
     tiles_y = H // tile_h

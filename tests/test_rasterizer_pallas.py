@@ -65,3 +65,20 @@ def test_face_tables_pack(interpret_pallas):
     fv = np.asarray(verts)[0][np.asarray(faces)]
     assert r[0] <= fv[..., 1].min() and r[1] >= fv[..., 1].max() - 1
     assert r[2] <= fv[..., 0].min() and r[3] >= fv[..., 0].max() - 1
+
+
+def test_choose_tile_dims_respects_smem_budget():
+    """The per-image SMEM work-list block (n_tiles x NC int32) must fit the
+    ~1 MB TPU SMEM: at 512^2 the 16x16 default is 1024 tiles x 108 chunks
+    x 4 B (x2 pipeline buffers) and failed to compile on real hardware
+    (caught by the predict-CLI vis path, which renders at 512^2)."""
+    NC = 108
+    assert rp._choose_tile_dims(256, 256, NC) == (16, 16)  # fast default
+    for H in (512, 1024, 2048):
+        th, tw = rp._choose_tile_dims(H, H, NC)
+        n_tiles = (H // th) * (H // tw)
+        assert n_tiles * NC * 4 <= rp.SMEM_LIST_BUDGET_BYTES, (H, th, tw)
+        assert H % th == 0 and H % tw == 0
+    # Degenerate: budget impossible -> single tile, loop must terminate.
+    th, tw = rp._choose_tile_dims(64, 64, 10**6)
+    assert (th, tw) == (64, 64)
