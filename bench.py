@@ -76,9 +76,9 @@ def main():
     from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
         rot6d_to_rotmat)
 
-    # B=64 is the serving batch (peak device throughput; measured 737 img/s
-    # vs ~604 at B=16 — the knee of the batch curve). Per-image math is
-    # identical at any B; pass argv overrides for ablations.
+    # B=64 is the serving batch (peak device throughput; measured 759 img/s
+    # vs ~604 at B=16 and 702 at B=128 — the knee of the batch curve).
+    # Per-image math is identical at any B; pass argv overrides for ablations.
     B = argv_b or 64              # images per step
     NUM_SAMPLES = argv_n or 100   # SMPL samples per image
     IMG = 512           # input image size (reference demo crops are 512x512)

@@ -23,6 +23,17 @@ sys.path.insert(0, _REPO)
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    force = "--force" in sys.argv[2:]
+
+    # Partial modes may only stamp when the source fingerprint is unchanged —
+    # otherwise the skipped cache could be silently stale (see
+    # cache_manifest.partial_stamp_allowed for the round-3 postmortem).
+    from hierarchicalprobabilistic3dhuman_tpu.runtime.cache_manifest import (
+        partial_stamp_allowed)
+    allowed, why = partial_stamp_allowed(mode, force=force)
+    print(f"[refresh] {why}", flush=True)
+    if not allowed:
+        sys.exit(2)
 
     if mode != "--stamp-only":
         if mode != "--dryrun-only":

@@ -103,6 +103,44 @@ def check_manifest():
                    "benchmarks/refresh_compile_caches.py")
 
 
+def recorded_fingerprint():
+    """Fingerprint in the committed manifest, or None if absent."""
+    if not os.path.exists(_MANIFEST):
+        return None
+    with open(_MANIFEST) as f:
+        return json.load(f).get("fingerprint")
+
+
+def partial_stamp_allowed(mode, force=False):
+    """Gate for refresh_compile_caches.py's partial modes.
+
+    Round-3 postmortem: the committed dryrun cache went stale for five
+    commits because a kernel rewrite changed the train-step HLO and later
+    manifest restamps (--bench-only / --stamp-only runs) recorded the new
+    source fingerprint WITHOUT rebuilding .cache/jax_dryrun — check_manifest
+    then reported "fresh" over a cache the driver would miss (~3-4 min
+    recompile inside its budget). A partial mode may therefore only stamp
+    when the fingerprint is UNCHANGED since the last full refresh (blob
+    swap, doc edit); any fingerprint change requires a full refresh — or an
+    explicit --force from someone who re-verified the skipped cache by hand.
+
+    -> (allowed: bool, message: str)
+    """
+    if mode not in ("--stamp-only", "--bench-only", "--dryrun-only"):
+        return True, "full refresh — both caches rebuilt before stamping"
+    if force:
+        return True, f"{mode} stamp FORCED — caller vouches for skipped caches"
+    old = recorded_fingerprint()
+    new = source_fingerprint()["fingerprint"]
+    if old == new:
+        return True, f"{mode} stamp ok — fingerprint unchanged since last refresh"
+    return False, (
+        f"REFUSING {mode} stamp: HLO-relevant sources changed since the last "
+        "refresh, so the skipped cache(s) may be silently stale. Run a full "
+        "refresh (no mode flag), or pass --force after re-verifying the "
+        "skipped cache by hand.")
+
+
 def warn_if_stale(stream=None):
     """Print a loud warning line when stale; returns freshness bool."""
     import sys

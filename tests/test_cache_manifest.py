@@ -33,3 +33,23 @@ def test_fingerprint_covers_entry_scripts():
 def test_compile_caches_are_fresh():
     fresh, msg = cache_manifest.check_manifest()
     assert fresh, msg
+
+
+def test_partial_stamp_refused_when_fingerprint_changed(monkeypatch):
+    """A --bench-only/--stamp-only restamp after a source change must be
+    refused: it would record the new fingerprint over a cache that was never
+    rebuilt (the exact failure that left .cache/jax_dryrun stale for five
+    commits in round 3 while check_manifest reported fresh)."""
+    monkeypatch.setattr(cache_manifest, "recorded_fingerprint", lambda: "old")
+    monkeypatch.setattr(cache_manifest, "source_fingerprint",
+                        lambda: {"fingerprint": "new"})
+    for mode in ("--stamp-only", "--bench-only", "--dryrun-only"):
+        allowed, msg = cache_manifest.partial_stamp_allowed(mode)
+        assert not allowed and "REFUSING" in msg, (mode, msg)
+        # explicit --force overrides after hand-verification
+        assert cache_manifest.partial_stamp_allowed(mode, force=True)[0]
+    # full refresh always allowed; partial allowed when nothing changed
+    assert cache_manifest.partial_stamp_allowed("")[0]
+    monkeypatch.setattr(cache_manifest, "source_fingerprint",
+                        lambda: {"fingerprint": "old"})
+    assert cache_manifest.partial_stamp_allowed("--stamp-only")[0]
