@@ -58,17 +58,26 @@ SMEM_LIST_BUDGET_BYTES = 128 * 1024
 
 def _choose_tile_dims(H, W, n_chunks):
     """Pick (tile_h, tile_w) — the measured-fastest 16x16 when the SMEM
-    work-list block fits, else doubled alternately until it does."""
+    work-list block fits, else doubled alternately until it does.
+
+    A dimension only doubles while the result still divides the image (the
+    kernel grid requires H % tile_h == 0): e.g. 384 grows 16->32->64->128
+    then stops — doubling to 256 would trip the grid assert downstream. If
+    neither dimension can grow further the loop exits with the largest
+    divisible tile; only pathological chunk counts (>~1M faces) reach that
+    regime over budget."""
     tile_w = min(W, TILE_W)
     tile_h = min(H, PIXEL_BLOCK // tile_w)
     while ((H // tile_h) * (W // tile_w) * n_chunks * 4
            > SMEM_LIST_BUDGET_BYTES):
-        if tile_h <= tile_w and tile_h < H:
+        can_h = tile_h < H and H % (tile_h * 2) == 0
+        can_w = tile_w < W and W % (tile_w * 2) == 0
+        if can_h and (tile_h <= tile_w or not can_w):
             tile_h *= 2
-        elif tile_w < W:
+        elif can_w:
             tile_w *= 2
         else:
-            break  # both dims maxed: single tile per image, nothing to cull
+            break  # no divisible growth left: largest tile, nothing to cull
     return tile_h, tile_w
 # 128 = one VPU lane width; tighter chunks bin better (measured 1.5x over 256
 # on v5e at 256^2; 64 fails Mosaic lane constraints).

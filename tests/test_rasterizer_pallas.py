@@ -82,3 +82,17 @@ def test_choose_tile_dims_respects_smem_budget():
     # Degenerate: budget impossible -> single tile, loop must terminate.
     th, tw = rp._choose_tile_dims(64, 64, 10**6)
     assert (th, tw) == (64, 64)
+
+
+def test_choose_tile_dims_never_breaks_grid_divisibility():
+    """Doubling must stop at the largest tile that still divides the image:
+    at H=384 (the HRNet input height — a legal render size) a huge chunk
+    count used to double 128 -> 256, which does not divide 384 and tripped
+    the kernel's grid assert."""
+    for H, W in ((384, 288), (384, 384), (512, 384), (768, 512)):
+        for nc in (1, 108, 300, 3000, 10**5):
+            th, tw = rp._choose_tile_dims(H, W, nc)
+            assert H % th == 0 and W % tw == 0, (H, W, nc, th, tw)
+    # Unchanged on the measured configs: 256^2 stays 16x16, 512^2 -> 32x32.
+    assert rp._choose_tile_dims(256, 256, 108) == (16, 16)
+    assert rp._choose_tile_dims(512, 512, 108) == (32, 32)
