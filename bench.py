@@ -31,6 +31,7 @@ def main():
     # (driver runs with no args -> reference configuration).
     argv_b = int(sys.argv[1]) if len(sys.argv) > 1 else None
     argv_n = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    run_start_time = time.time()
 
     import os
     import jax
@@ -76,8 +77,9 @@ def main():
     from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
         rot6d_to_rotmat)
 
-    # B=64 is the serving batch (peak device throughput; measured 759 img/s
-    # vs ~604 at B=16 and 702 at B=128 — the knee of the batch curve).
+    # B=64 is the serving batch (peak device throughput; measured 737-760
+    # img/s across round-3 runs vs ~604 at B=16 and 702 at B=128 — the knee
+    # of the batch curve).
     # Per-image math is identical at any B; pass argv overrides for ablations.
     B = argv_b or 64              # images per step
     NUM_SAMPLES = argv_n or 100   # SMPL samples per image
@@ -204,6 +206,21 @@ def main():
         "unit": "images/s",
         "vs_baseline": round(images_per_sec / baseline, 3),
     }))
+
+    # A successful DEFAULT-config run is itself a refresh of .cache/jax_bench
+    # (any recompiles this pipeline needed just happened into it), so stamp
+    # its manifest entry here — the restamp is part of producing the
+    # artifact, not a separate manual step (round-3 postmortem: manual
+    # restamps shipped a stale manifest at HEAD). Ablation runs (argv
+    # overrides) compile DIFFERENT programs and must not stamp.
+    if argv_b is None and argv_n is None:
+        from hierarchicalprobabilistic3dhuman_tpu.runtime.cache_manifest import (
+            prune_superseded, stamp_cache)
+        deleted = prune_superseded(cache_dir, run_start_time)
+        if deleted:
+            print(f"[cache-manifest] pruned {len(deleted)} superseded "
+                  f"jax_bench blob(s)", file=sys.stderr, flush=True)
+        stamp_cache("jax_bench")
 
 
 if __name__ == "__main__":

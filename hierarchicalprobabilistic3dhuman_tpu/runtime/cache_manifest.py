@@ -9,11 +9,18 @@ still works, it just pays the full compile inside the driver's budget
   * source_fingerprint() hashes the AST (comments and docstrings stripped,
     so prose-only edits do not invalidate) of every package source plus the
     entry scripts;
-  * write_manifest() records the fingerprint after a cache refresh
-    (benchmarks/refresh_compile_caches.py);
-  * check_manifest() compares and returns a human-readable status;
-    tests/test_cache_manifest.py fails the fast tier on mismatch so a stale
-    cache cannot ship unnoticed.
+  * stamp_cache(name) records the fingerprint FOR ONE CACHE and is called
+    by the artifact that just rebuilt it (bench.py stamps "jax_bench" at
+    the end of a successful default-config run; dryrun_multichip(8) stamps
+    "jax_dryrun") — the restamp is part of PRODUCING the artifact, never a
+    separate manual step (round-3 postmortem: a manual restamp workflow
+    shipped a stale manifest at HEAD twice);
+  * check_manifest() compares every required cache's stamp and returns a
+    human-readable status; tests/test_cache_manifest.py fails the fast tier
+    on mismatch so a stale cache cannot ship unnoticed;
+  * prune_superseded() deletes cache blobs obsoleted by a refresh so the
+    committed .cache/ stays at working-set size (round-3 advisor flag:
+    112 MB and growing).
 """
 
 import ast
@@ -28,6 +35,10 @@ _MANIFEST = os.path.join(_REPO, ".cache", "manifest.json")
 
 # Entry scripts whose traced programs feed the persistent caches.
 _EXTRA_SOURCES = ("bench.py", "__graft_entry__.py")
+
+# Caches the driver's timed artifacts rely on; each must carry a stamp
+# matching the current source fingerprint for the fast tier to stay green.
+REQUIRED_CACHES = ("jax_bench", "jax_dryrun")
 
 
 def _strip_docstrings(tree):
@@ -73,72 +84,119 @@ def source_fingerprint():
     return {"fingerprint": h.hexdigest(), "files": dict(digests)}
 
 
-def write_manifest():
-    fp = source_fingerprint()
-    os.makedirs(os.path.dirname(_MANIFEST), exist_ok=True)
-    with open(_MANIFEST, "w") as f:
-        json.dump(fp, f, indent=1, sort_keys=True)
-    return fp["fingerprint"]
-
-
-def check_manifest():
-    """-> (fresh: bool, message: str). Missing manifest counts as stale."""
-    if not os.path.exists(_MANIFEST):
-        return False, ("no .cache/manifest.json — run "
-                       "benchmarks/refresh_compile_caches.py after building "
-                       "the compile caches")
-    with open(_MANIFEST) as f:
-        recorded = json.load(f)
-    current = source_fingerprint()
-    if current["fingerprint"] == recorded.get("fingerprint"):
-        return True, "compile caches fresh"
-    changed = sorted(
-        set(k for k, v in current["files"].items()
-            if recorded.get("files", {}).get(k) != v)
-        | set(k for k in recorded.get("files", {})
-              if k not in current["files"]))
-    return False, ("compile caches STALE — HLO-relevant sources changed "
-                   f"since the last refresh: {', '.join(changed[:8])}"
-                   f"{' ...' if len(changed) > 8 else ''}. Run "
-                   "benchmarks/refresh_compile_caches.py")
-
-
-def recorded_fingerprint():
-    """Fingerprint in the committed manifest, or None if absent."""
+def _read_manifest():
     if not os.path.exists(_MANIFEST):
         return None
     with open(_MANIFEST) as f:
-        return json.load(f).get("fingerprint")
+        return json.load(f)
 
 
-def partial_stamp_allowed(mode, force=False):
-    """Gate for refresh_compile_caches.py's partial modes.
+def _as_cache_stamps(recorded):
+    """Normalise manifest contents to {cache_name: fingerprint_dict}.
 
-    Round-3 postmortem: the committed dryrun cache went stale for five
-    commits because a kernel rewrite changed the train-step HLO and later
-    manifest restamps (--bench-only / --stamp-only runs) recorded the new
-    source fingerprint WITHOUT rebuilding .cache/jax_dryrun — check_manifest
-    then reported "fresh" over a cache the driver would miss (~3-4 min
-    recompile inside its budget). A partial mode may therefore only stamp
-    when the fingerprint is UNCHANGED since the last full refresh (blob
-    swap, doc edit); any fingerprint change requires a full refresh — or an
-    explicit --force from someone who re-verified the skipped cache by hand.
+    Legacy format (rounds 2-3) stored ONE top-level fingerprint covering
+    both caches; treat it as a stamp for every required cache."""
+    if recorded is None:
+        return {}
+    if "caches" in recorded:
+        return recorded["caches"]
+    if "fingerprint" in recorded:
+        return {name: recorded for name in REQUIRED_CACHES}
+    return {}
 
-    -> (allowed: bool, message: str)
+
+def stamp_cache(name, manifest_path=None):
+    """Record the current source fingerprint for ONE cache.
+
+    Called by the artifact that just rebuilt/validated that cache, at the
+    END of its successful run — so a stamp can never cover a cache that was
+    not actually exercised. Other caches' stamps are preserved (and keep
+    reporting stale until their own artifact runs).
     """
-    if mode not in ("--stamp-only", "--bench-only", "--dryrun-only"):
-        return True, "full refresh — both caches rebuilt before stamping"
-    if force:
-        return True, f"{mode} stamp FORCED — caller vouches for skipped caches"
-    old = recorded_fingerprint()
-    new = source_fingerprint()["fingerprint"]
-    if old == new:
-        return True, f"{mode} stamp ok — fingerprint unchanged since last refresh"
-    return False, (
-        f"REFUSING {mode} stamp: HLO-relevant sources changed since the last "
-        "refresh, so the skipped cache(s) may be silently stale. Run a full "
-        "refresh (no mode flag), or pass --force after re-verifying the "
-        "skipped cache by hand.")
+    path = manifest_path or _MANIFEST
+    recorded = None
+    if os.path.exists(path):
+        with open(path) as f:
+            recorded = json.load(f)
+    caches = _as_cache_stamps(recorded)
+    caches[name] = source_fingerprint()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"caches": caches}, f, indent=1, sort_keys=True)
+    return caches[name]["fingerprint"]
+
+
+def write_manifest():
+    """Stamp every required cache (a full refresh rebuilt them all)."""
+    for name in REQUIRED_CACHES:
+        fp = stamp_cache(name)
+    return fp
+
+
+def check_manifest(manifest_path=None):
+    """-> (fresh: bool, message: str). Missing manifest/stamp counts as stale."""
+    path = manifest_path or _MANIFEST
+    if not os.path.exists(path):
+        return False, ("no .cache/manifest.json — run "
+                       "benchmarks/refresh_compile_caches.py after building "
+                       "the compile caches")
+    with open(path) as f:
+        caches = _as_cache_stamps(json.load(f))
+    current = source_fingerprint()
+    stale = []
+    for name in REQUIRED_CACHES:
+        recorded = caches.get(name)
+        if recorded is None:
+            stale.append(f"{name} (never stamped)")
+            continue
+        if current["fingerprint"] == recorded.get("fingerprint"):
+            continue
+        changed = sorted(
+            set(k for k, v in current["files"].items()
+                if recorded.get("files", {}).get(k) != v)
+            | set(k for k in recorded.get("files", {})
+                  if k not in current["files"]))
+        stale.append(f"{name} ({', '.join(changed[:6])}"
+                     f"{' ...' if len(changed) > 6 else ''})")
+    if not stale:
+        return True, "compile caches fresh"
+    return False, ("compile caches STALE — HLO-relevant sources changed "
+                   f"since the last stamp: {'; '.join(stale)}. Rerun the "
+                   "artifact(s) (bench.py / dryrun_multichip) or "
+                   "benchmarks/refresh_compile_caches.py")
+
+
+def prune_superseded(cache_dir, run_start_time):
+    """Delete cache blobs obsoleted by the run that started at run_start_time.
+
+    XLA persistent-cache files are named <program>-<hlo_key>-cache; when a
+    source change alters a program's HLO, the refresh run writes a NEW key
+    file and the old key(s) for the same program name become dead weight in
+    git (round-3 advisor: .cache/ at 112 MB and growing per refresh). Rule:
+    in any program group that gained a new file during this run, delete the
+    files that predate the run. Groups with no new file are cache hits —
+    their existing key is still current and is kept.
+
+    Returns the list of deleted filenames.
+    """
+    if not os.path.isdir(cache_dir):
+        return []
+    groups = {}
+    for fname in os.listdir(cache_dir):
+        parts = fname.rsplit("-", 2)
+        prefix = parts[0] if len(parts) == 3 else fname
+        groups.setdefault(prefix, []).append(fname)
+    deleted = []
+    for prefix, fnames in groups.items():
+        mtimes = {f: os.path.getmtime(os.path.join(cache_dir, f))
+                  for f in fnames}
+        if not any(t >= run_start_time for t in mtimes.values()):
+            continue  # pure cache hits — current keys, keep
+        for f in fnames:
+            if mtimes[f] < run_start_time:
+                os.remove(os.path.join(cache_dir, f))
+                deleted.append(f)
+    return deleted
 
 
 def warn_if_stale(stream=None):

@@ -35,21 +35,55 @@ def test_compile_caches_are_fresh():
     assert fresh, msg
 
 
-def test_partial_stamp_refused_when_fingerprint_changed(monkeypatch):
-    """A --bench-only/--stamp-only restamp after a source change must be
-    refused: it would record the new fingerprint over a cache that was never
-    rebuilt (the exact failure that left .cache/jax_dryrun stale for five
-    commits in round 3 while check_manifest reported fresh)."""
-    monkeypatch.setattr(cache_manifest, "recorded_fingerprint", lambda: "old")
-    monkeypatch.setattr(cache_manifest, "source_fingerprint",
-                        lambda: {"fingerprint": "new"})
-    for mode in ("--stamp-only", "--bench-only", "--dryrun-only"):
-        allowed, msg = cache_manifest.partial_stamp_allowed(mode)
-        assert not allowed and "REFUSING" in msg, (mode, msg)
-        # explicit --force overrides after hand-verification
-        assert cache_manifest.partial_stamp_allowed(mode, force=True)[0]
-    # full refresh always allowed; partial allowed when nothing changed
-    assert cache_manifest.partial_stamp_allowed("")[0]
-    monkeypatch.setattr(cache_manifest, "source_fingerprint",
-                        lambda: {"fingerprint": "old"})
-    assert cache_manifest.partial_stamp_allowed("--stamp-only")[0]
+def test_per_cache_stamps_keep_unstamped_cache_stale(tmp_path):
+    """Stamping one cache must NOT mark the other fresh: a --bench-only run
+    after a source change leaves jax_dryrun stale and check_manifest must
+    say so (the round-3 failure was a global stamp covering an unrebuilt
+    cache)."""
+    manifest = str(tmp_path / "manifest.json")
+    fresh, msg = cache_manifest.check_manifest(manifest_path=manifest)
+    assert not fresh and "no .cache/manifest.json" in msg
+
+    cache_manifest.stamp_cache("jax_bench", manifest_path=manifest)
+    fresh, msg = cache_manifest.check_manifest(manifest_path=manifest)
+    assert not fresh and "jax_dryrun (never stamped)" in msg, msg
+
+    cache_manifest.stamp_cache("jax_dryrun", manifest_path=manifest)
+    fresh, msg = cache_manifest.check_manifest(manifest_path=manifest)
+    assert fresh, msg
+
+
+def test_legacy_single_fingerprint_manifest_still_readable(tmp_path):
+    """Rounds 2-3 stored one top-level fingerprint; it must be treated as a
+    stamp for every required cache so old commits still evaluate."""
+    import json
+    manifest = str(tmp_path / "manifest.json")
+    with open(manifest, "w") as f:
+        json.dump(cache_manifest.source_fingerprint(), f)
+    fresh, msg = cache_manifest.check_manifest(manifest_path=manifest)
+    assert fresh, msg
+
+
+def test_prune_superseded_deletes_only_replaced_program_groups(tmp_path):
+    """Blobs whose program group gained a new key during the run are dead
+    (the program's HLO changed); groups with no new key are cache hits and
+    must be kept — including all shape-variants of an untouched program."""
+    import time
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    old = ["jit_foo-" + "a" * 64 + "-cache",
+           "jit_bar-" + "b" * 64 + "-cache",
+           "jit_bar-" + "c" * 64 + "-cache"]
+    for name in old:
+        (cache / name).write_bytes(b"old")
+    past = time.time() - 100
+    for name in old:
+        os.utime(cache / name, (past, past))
+    run_start = time.time() - 50
+    new = "jit_foo-" + "d" * 64 + "-cache"
+    (cache / new).write_bytes(b"new")
+
+    deleted = cache_manifest.prune_superseded(str(cache), run_start)
+    assert deleted == ["jit_foo-" + "a" * 64 + "-cache"]
+    remaining = sorted(os.listdir(cache))
+    assert remaining == sorted([new] + old[1:])
