@@ -58,27 +58,34 @@ SMEM_LIST_BUDGET_BYTES = 128 * 1024
 
 def _choose_tile_dims(H, W, n_chunks):
     """Pick (tile_h, tile_w) — the measured-fastest 16x16 when the SMEM
-    work-list block fits, else doubled alternately until it does.
+    work-list block fits, else the smallest-area divisor pair that does.
 
-    A dimension only doubles while the result still divides the image (the
-    kernel grid requires H % tile_h == 0): e.g. 384 grows 16->32->64->128
-    then stops — doubling to 256 would trip the grid assert downstream. If
-    neither dimension can grow further the loop exits with the largest
-    divisible tile; only pathological chunk counts (>~1M faces) reach that
-    regime over budget."""
-    tile_w = min(W, TILE_W)
-    tile_h = min(H, PIXEL_BLOCK // tile_w)
-    while ((H // tile_h) * (W // tile_w) * n_chunks * 4
-           > SMEM_LIST_BUDGET_BYTES):
-        can_h = tile_h < H and H % (tile_h * 2) == 0
-        can_w = tile_w < W and W % (tile_w * 2) == 0
-        if can_h and (tile_h <= tile_w or not can_w):
-            tile_h *= 2
-        elif can_w:
-            tile_w *= 2
-        else:
-            break  # no divisible growth left: largest tile, nothing to cull
-    return tile_h, tile_w
+    Smaller tiles cull better (more tiles, tighter chunk lists), so among
+    all (tile_h | H, tile_w | W) pairs whose (n_tiles x NC) int32 work-list
+    block fits SMEM_LIST_BUDGET_BYTES we take the minimum-area one,
+    tie-broken toward square tiles (square bboxes overlap fewest chunks).
+    Searching divisors rather than only doubling means e.g. H=384 can use
+    tile_h=192 when 128 is over budget (round-3 advisor finding). If even
+    the full image as one tile exceeds the budget (pathological chunk
+    counts, >~1M faces), return that single tile — the budget is a
+    conservative 1/8th of physical SMEM, so minimising the block is the
+    best remaining move."""
+    tile_w0 = min(W, TILE_W)
+    tile_h0 = min(H, PIXEL_BLOCK // tile_w0)
+
+    def fits(th, tw):
+        return ((H // th) * (W // tw) * n_chunks * 4
+                <= SMEM_LIST_BUDGET_BYTES)
+
+    if fits(tile_h0, tile_w0):
+        return tile_h0, tile_w0
+    div_h = [d for d in range(tile_h0, H + 1) if H % d == 0]
+    div_w = [d for d in range(tile_w0, W + 1) if W % d == 0]
+    candidates = [(th, tw) for th in div_h for tw in div_w if fits(th, tw)]
+    if not candidates:
+        return H, W  # single tile: smallest possible block, nothing to cull
+    return min(candidates, key=lambda tw_: (tw_[0] * tw_[1],
+                                            abs(tw_[0] - tw_[1])))
 # 128 = one VPU lane width; tighter chunks bin better (measured 1.5x over 256
 # on v5e at 256^2; 64 fails Mosaic lane constraints).
 FACE_CHUNK = 128
