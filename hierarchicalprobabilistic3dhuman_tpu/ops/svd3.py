@@ -188,8 +188,28 @@ def svd3x3_lapack(F):
 
 
 def proper_svd3x3_lapack(F):
-    """proper_svd3x3 with LAPACK sign conventions (see svd3x3_lapack)."""
+    """proper_svd3x3 with LAPACK sign conventions via HOST CALLBACK.
+
+    Kept as the bit-exact numpy oracle for tests; production code should
+    use proper_svd3x3_gesdd (device-native, same signs, works on backends
+    that reject host callbacks)."""
     U, S, V = svd3x3_lapack(F)
+    return _properize(U, S, V)
+
+
+def proper_svd3x3_gesdd(F):
+    """proper_svd3x3 with LAPACK gesdd sign conventions, DEVICE-NATIVE.
+
+    A faithful jnp re-implementation of sgesdd's 3x3 path (see
+    ops/lapack_svd3.py): no host round-trip, jittable on every backend
+    including TPU runtimes that reject callbacks (axon). Matches
+    np.linalg.svd signs on ~98% of generic inputs; the remainder are pure
+    column-sign flips at fp branch boundaries. Use for converted-checkpoint
+    inference/eval parity (reference models/poseMF_shapeGaussian_net.py:137-152);
+    not differentiable — training uses proper_svd3x3."""
+    from hierarchicalprobabilistic3dhuman_tpu.ops.lapack_svd3 import (
+        svd3x3_gesdd)
+    U, S, V = svd3x3_gesdd(F)
     return _properize(U, S, V)
 
 
