@@ -464,7 +464,21 @@ def predict_pose_mf_shape_gaussian_net(pose_shape_model_apply,
 
 
 def _prefetch_images(image_dir, fnames, queue_size=8):
-    """Decode images on a background thread; yields (fname, rgb uint8 HWC)."""
+    """Decode/load images on a background thread; yields (fname, uint8 HWC RGB).
+
+    Input formats (extension-driven):
+      .png/.jpg/.jpeg  cv2 decode (BGR -> RGB)
+      .npy             ONE pre-decoded uint8 HWC RGB image — skips image
+                       decode entirely (the 1-core serving host pays
+                       ~6 ms/img decoding 512^2 PNGs; an npy read is a raw
+                       copy at disk speed)
+      .npz             a PACK of pre-decoded images: entry name = output
+                       fname, value = uint8 HWC RGB (also amortises
+                       per-file open syscalls; build with
+                       data/pack_predict_inputs.py)
+    npy yields are renamed *.png so downstream artifact writes keep image
+    extensions; npz entry names are used verbatim.
+    """
     import queue
     import threading
 
@@ -473,8 +487,17 @@ def _prefetch_images(image_dir, fnames, queue_size=8):
 
     def worker():
         for fname in fnames:
-            bgr = cv2.imread(os.path.join(image_dir, fname))
-            q.put((fname, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)))
+            path = os.path.join(image_dir, fname)
+            if fname.endswith(".npy"):
+                q.put((fname[:-len(".npy")] + ".png",
+                       np.ascontiguousarray(np.load(path))))
+            elif fname.endswith(".npz"):
+                with np.load(path) as pack:
+                    for key in pack.files:
+                        q.put((key, pack[key]))
+            else:
+                bgr = cv2.imread(path)
+                q.put((fname, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)))
         q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -555,13 +578,20 @@ def predict_folder_batched(pose_shape_model_apply,
                                    bbox_whs, bbox_whs, rgb=rgb, iuv=iuv)
 
     fnames = sorted(f for f in os.listdir(image_dir)
-                    if f.endswith((".jpg", ".png")))
+                    if f.endswith((".jpg", ".jpeg", ".png", ".npy", ".npz")))
 
     key = jax.random.PRNGKey(rng_seed)
     results = {}
     wh = visualise_wh
     proxy_size = pose_shape_cfg.DATA.PROXY_REP_SIZE
-    n_total = len(fnames)
+    n_total = 0
+    for f in fnames:
+        if f.endswith(".npz"):       # pack: count entries without reading data
+            import zipfile
+            with zipfile.ZipFile(os.path.join(image_dir, f)) as z:
+                n_total += sum(1 for _ in z.namelist())
+        else:
+            n_total += 1
     n_done = 0
     t_start = time.monotonic()
     t_first = None
@@ -628,18 +658,8 @@ def predict_folder_batched(pose_shape_model_apply,
                 return
             yield item
 
-    for chunk, n_real, images in _stream_chunks():
-            H, W = chunk[0][1].shape[:2]
-            hr = hrnet_batch(images, object_detect_fn=object_detect_fn,
-                             object_detect_threshold=pose_shape_cfg.DATA
-                             .BBOX_THRESHOLD,
-                             host_images=[
-                                 c[1].transpose(2, 0, 1).astype(np.float32)
-                                 / 255.0 for c in chunk]
-                             if object_detect_fn is not None else None)
-            key, sub = jax.random.split(key)
-            out = core(sub, hr["cropped_image"], hr["joints2D"],
-                       hr["joints2Dconfs"])
+    def _materialize(chunk, n_real, out, hr, H, W):
+            nonlocal n_done, t_first
             if t_first is None:
                 jax.tree.map(lambda x: x.block_until_ready(), out)
                 t_first = time.monotonic()
@@ -665,7 +685,7 @@ def predict_folder_batched(pose_shape_model_apply,
                   f"({time.monotonic() - t_start:.1f}s elapsed).", flush=True)
 
             if not save_vis:
-                continue
+                return
 
             # ---- figures (host assembly per real image) ----
             fronts = np.asarray(out["front"]).transpose(0, 2, 3, 1)
@@ -713,6 +733,30 @@ def predict_folder_batched(pose_shape_model_apply,
                         + "_uncrop.png",
                         np.clip(composite[:, :, ::-1], 0,
                                 255).astype(np.uint8))
+
+    # Lag-one pipeline: dispatch chunk N+1's device work BEFORE fetching
+    # chunk N's outputs, so the output download (a tunnel-bound host copy)
+    # overlaps the next chunk's device compute instead of serialising with
+    # it. Costs one extra chunk of device-resident outputs; on the 1024-img
+    # 512^2 serving benchmark this overlap is worth ~15% wall-clock.
+    pending = None
+    for chunk, n_real, images in _stream_chunks():
+        H, W = chunk[0][1].shape[:2]
+        hr = hrnet_batch(images, object_detect_fn=object_detect_fn,
+                         object_detect_threshold=pose_shape_cfg.DATA
+                         .BBOX_THRESHOLD,
+                         host_images=[
+                             c[1].transpose(2, 0, 1).astype(np.float32)
+                             / 255.0 for c in chunk]
+                         if object_detect_fn is not None else None)
+        key, sub = jax.random.split(key)
+        out = core(sub, hr["cropped_image"], hr["joints2D"],
+                   hr["joints2Dconfs"])
+        if pending is not None:
+            _materialize(*pending)
+        pending = (chunk, n_real, out, hr, H, W)
+    if pending is not None:
+        _materialize(*pending)
 
     t_end = time.monotonic()
     if t_first is not None and n_done > batch_size:

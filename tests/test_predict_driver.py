@@ -283,3 +283,60 @@ def test_params_explicit_eval_step_matches_closure():
         np.testing.assert_allclose(np.asarray(out_a[k]),
                                    np.asarray(out_c[k]), rtol=0, atol=1e-5,
                                    err_msg=k)
+
+
+@pytest.mark.slow
+def test_batched_folder_predict_predecoded_inputs(tmp_path):
+    """.npy single-image files and .npz packs (uint8 HWC RGB, the serving
+    fast path that skips PNG decode) must produce outputs identical to the
+    same images fed as PNGs."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        predict_folder_batched)
+    from hierarchicalprobabilistic3dhuman_tpu.data.pack_predict_inputs import (
+        pack_folder)
+
+    D = 32
+    WH = 64
+    cfg = get_pose_shape_cfg_defaults()
+    cfg.DATA.PROXY_REP_SIZE = D
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = PoseMFShapeGaussianNet(embed_dim=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18, D, D)))
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    hm_w, hm_h = hrnet_cfg.MODEL.HEATMAP_SIZE
+
+    def hrnet_stub(x):
+        return jnp.zeros((x.shape[0], 17, hm_h, hm_w)).at[:, :, 8, 6].set(0.9)
+
+    rng = np.random.RandomState(8)
+    imgs = {f"im{i}.png": (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+            for i in range(3)}
+
+    png_dir, npy_dir = tmp_path / "png", tmp_path / "npy"
+    png_dir.mkdir(), npy_dir.mkdir()
+    for fname, rgb in imgs.items():
+        cv2.imwrite(str(png_dir / fname), rgb[:, :, ::-1])  # BGR on disk
+        np.save(str(npy_dir / (fname[:-4] + ".npy")), rgb)
+    npz_dir = tmp_path / "npz"
+    pack_folder(str(png_dir), str(npz_dir), shard_size=2)
+    assert len(list(npz_dir.glob("*.npz"))) == 2
+
+    common = dict(
+        pose_shape_model_apply=apply_fn, pose_shape_cfg=cfg,
+        smpl_model=SMPL.synthetic(), hrnet_apply=hrnet_stub,
+        hrnet_cfg=hrnet_cfg, edge_detect_model=CannyEdgeDetector(threshold=0.0),
+        batch_size=2, visualise_wh=WH, save_vis=False,
+        num_uncertainty_samples=4)
+    outs = {}
+    for name, d in (("png", png_dir), ("npy", npy_dir), ("npz", npz_dir)):
+        outs[name] = predict_folder_batched(
+            image_dir=str(d), save_dir=str(tmp_path / f"out_{name}"), **common)
+
+    for name in ("npy", "npz"):
+        assert set(outs[name]) == set(outs["png"]), name
+        for fname in outs["png"]:
+            for k in ("pose_mode", "shape_mean", "cam"):
+                np.testing.assert_array_equal(
+                    np.asarray(outs[name][fname][k]),
+                    np.asarray(outs["png"][fname][k]),
+                    err_msg=f"{name}/{fname}/{k}")
