@@ -42,7 +42,7 @@ def main(B=72):
     # ---- culling statistics via the kernel's own work-list builder --------
     attrs_stub = jnp.zeros((B, verts_dp.shape[1], 12), jnp.float32)
     _, _, chunk_ranges = rp.pack_face_tables(screen, renderer.faces, attrs_stub)
-    tile_h, tile_w = rp._choose_tile_dims(D, D, chunk_ranges.shape[1])
+    tile_h, tile_w = rp._choose_tile_dims(D, D)
     counts, _ = rp.build_tile_chunk_lists(chunk_ranges, (D, D), tile_h, tile_w)
     counts = np.asarray(counts)[..., 0]                  # (B, T)
     NC = chunk_ranges.shape[1]

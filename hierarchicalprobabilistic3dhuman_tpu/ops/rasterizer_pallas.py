@@ -48,44 +48,34 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 1e30
 PIXEL_BLOCK = 256
 TILE_W = 16
-# Per-image chunk work lists live in SMEM as an (n_tiles, NC) int32 block
-# (double-buffered by the pipeline). TPU SMEM is ~1 MB: a 512^2 render at
-# 16x16 tiles is 1024 tiles x 108 chunks x 4 B x 2 buffers ~ 0.9 MB and
-# fails to compile. _choose_tile_dims grows the tile until the list block
-# fits this budget (256^2 stays at 16x16; 512^2 becomes 32x32).
-SMEM_LIST_BUDGET_BYTES = 128 * 1024
+# The per-image chunk work lists STREAM through SMEM in TILE_GROUP-row
+# windows (block (TILE_GROUP, NC), index i // TILE_GROUP), not as one
+# resident (n_tiles, NC) block. SMEM pads a window's last dim to 128 lanes
+# and double-buffers it, so whole-array residency really costs
+# n_tiles x 128 x 4 B x 2 buffers PER INPUT regardless of NC — 2 MB of the
+# chip's 1 MB SMEM at 512^2/16x16 tiles (caught on hardware by
+# benchmarks/tpu_checks.py render_512). Streamed windows cost
+# TILE_GROUP x 128 x 4 x 2 = 8 KB each at any image size, and the 8-tile
+# granularity satisfies Mosaic's sublane rule (block dims divisible by 8 or
+# equal to the array's).
+TILE_GROUP = 8
 
 
-def _choose_tile_dims(H, W, n_chunks):
-    """Pick (tile_h, tile_w) — the measured-fastest 16x16 when the SMEM
-    work-list block fits, else the smallest-area divisor pair that does.
-
-    Smaller tiles cull better (more tiles, tighter chunk lists), so among
-    all (tile_h | H, tile_w | W) pairs whose (n_tiles x NC) int32 work-list
-    block fits SMEM_LIST_BUDGET_BYTES we take the minimum-area one,
-    tie-broken toward square tiles (square bboxes overlap fewest chunks).
-    Searching divisors rather than only doubling means e.g. H=384 can use
-    tile_h=192 when 128 is over budget (round-3 advisor finding). If even
-    the full image as one tile exceeds the budget (pathological chunk
-    counts, >~1M faces), return that single tile — the budget is a
-    conservative 1/8th of physical SMEM, so minimising the block is the
-    best remaining move."""
+def _choose_tile_dims(H, W):
+    """Pick (tile_h, tile_w): the measured-fastest 16x16 when it divides the
+    image, else the minimum-area (tile_h | H, tile_w | W) divisor pair at or
+    above the default, tie-broken toward square tiles (square bboxes overlap
+    fewest chunks; smaller tiles cull better). SMEM no longer constrains the
+    choice — the work lists stream through fixed TILE_GROUP-row windows, so
+    scoped SMEM is independent of the tile count."""
     tile_w0 = min(W, TILE_W)
     tile_h0 = min(H, PIXEL_BLOCK // tile_w0)
-
-    def fits(th, tw):
-        return ((H // th) * (W // tw) * n_chunks * 4
-                <= SMEM_LIST_BUDGET_BYTES)
-
-    if fits(tile_h0, tile_w0):
+    if H % tile_h0 == 0 and W % tile_w0 == 0:
         return tile_h0, tile_w0
     div_h = [d for d in range(tile_h0, H + 1) if H % d == 0]
     div_w = [d for d in range(tile_w0, W + 1) if W % d == 0]
-    candidates = [(th, tw) for th in div_h for tw in div_w if fits(th, tw)]
-    if not candidates:
-        return H, W  # single tile: smallest possible block, nothing to cull
-    return min(candidates, key=lambda tw_: (tw_[0] * tw_[1],
-                                            abs(tw_[0] - tw_[1])))
+    return min(((th, tw) for th in div_h for tw in div_w),
+               key=lambda tw_: (tw_[0] * tw_[1], abs(tw_[0] - tw_[1])))
 # 128 = one VPU lane width; tighter chunks bin better (measured 1.5x over 256
 # on v5e at 256^2; 64 fails Mosaic lane constraints).
 FACE_CHUNK = 128
@@ -280,12 +270,13 @@ def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, attr_out_ref,
         accum_ref[...] = jnp.where(better, new_attr, attrs)
         zbuf_ref[...] = jnp.minimum(zbuf, chunk_zmin)
 
-    # Compacted 2-D binning: lists_ref[blk] holds exactly the chunks whose
-    # screen bbox overlaps this tile (built by build_tile_chunk_lists) — no
-    # per-chunk branch, no wasted iterations over the ~95-99% of chunks
-    # that miss the tile.
-    lax.fori_loop(0, counts_ref[blk, 0],
-                  lambda j, _: (compute(lists_ref[blk, j]), 0)[1], 0,
+    # Compacted 2-D binning: this tile's row of the streamed TILE_GROUP-row
+    # SMEM window holds exactly the chunks whose screen bbox overlaps the
+    # tile (built by build_tile_chunk_lists) — no per-chunk branch, no
+    # wasted iterations over the ~95-99% of chunks that miss the tile.
+    row = blk % TILE_GROUP
+    lax.fori_loop(0, counts_ref[row, 0],
+                  lambda j, _: (compute(lists_ref[row, j]), 0)[1], 0,
                   unroll=False)
 
     # Outputs stay flat (P, .) tile blocks; XLA's reassemble transpose then
@@ -313,7 +304,7 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
     """
     B = geom_t.shape[0]
     H, W = image_hw
-    tile_h, tile_w = _choose_tile_dims(H, W, geom_t.shape[2] // FACE_CHUNK)
+    tile_h, tile_w = _choose_tile_dims(H, W)
     P = tile_h * tile_w
     assert H % tile_h == 0 and W % tile_w == 0, (H, W, tile_h, tile_w)
     tiles_y = H // tile_h
@@ -325,6 +316,12 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
 
     counts, lists = build_tile_chunk_lists(chunk_ranges, image_hw,
                                            tile_h, tile_w)
+    # Pad the tile axis so the streamed (TILE_GROUP, .) SMEM windows tile it
+    # exactly; the grid never visits the padded rows.
+    T8 = -(-n_tiles // TILE_GROUP) * TILE_GROUP
+    if T8 != n_tiles:
+        counts = jnp.pad(counts, ((0, 0), (0, T8 - n_tiles), (0, 0)))
+        lists = jnp.pad(lists, ((0, 0), (0, T8 - n_tiles), (0, 0)))
 
     kernel = partial(_raster_kernel, num_attrs=A,
                      znear=znear, tile_h=tile_h, tile_w=tile_w,
@@ -333,9 +330,11 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, n_tiles, 1), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((None, TILE_GROUP, 1),
+                         lambda b, i: (b, i // TILE_GROUP, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, n_tiles, NC), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((None, TILE_GROUP, NC),
+                         lambda b, i: (b, i // TILE_GROUP, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 16, Fp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -67,32 +67,36 @@ def test_face_tables_pack(interpret_pallas):
     assert r[2] <= fv[..., 0].min() and r[3] >= fv[..., 0].max() - 1
 
 
-def test_choose_tile_dims_respects_smem_budget():
-    """The per-image SMEM work-list block (n_tiles x NC int32) must fit the
-    ~1 MB TPU SMEM: at 512^2 the 16x16 default is 1024 tiles x 108 chunks
-    x 4 B (x2 pipeline buffers) and failed to compile on real hardware
-    (caught by the predict-CLI vis path, which renders at 512^2)."""
-    NC = 108
-    assert rp._choose_tile_dims(256, 256, NC) == (16, 16)  # fast default
-    for H in (512, 1024, 2048):
-        th, tw = rp._choose_tile_dims(H, H, NC)
-        n_tiles = (H // th) * (H // tw)
-        assert n_tiles * NC * 4 <= rp.SMEM_LIST_BUDGET_BYTES, (H, th, tw)
-        assert H % th == 0 and H % tw == 0
-    # Degenerate: budget impossible -> single tile, loop must terminate.
-    th, tw = rp._choose_tile_dims(64, 64, 10**6)
-    assert (th, tw) == (64, 64)
+def test_choose_tile_dims_default_and_divisibility():
+    """The measured-fastest 16x16 default applies whenever it divides the
+    image (SMEM no longer constrains the choice: the work lists stream
+    through fixed TILE_GROUP-row windows — benchmarks/tpu_checks.py
+    render_512 caught the whole-array-resident version exhausting SMEM at
+    512^2 because SMEM windows pad their last dim to 128 lanes); for
+    non-divisible images (e.g. 384x288, HRNet's input size) the chosen pair
+    must still divide the image exactly or the kernel grid assert trips."""
+    assert rp._choose_tile_dims(256, 256) == (16, 16)
+    assert rp._choose_tile_dims(512, 512) == (16, 16)
+    assert rp._choose_tile_dims(1024, 1024) == (16, 16)
+    for H, W in ((384, 288), (384, 384), (512, 384), (768, 512),
+                 (100, 90), (60, 60)):
+        th, tw = rp._choose_tile_dims(H, W)
+        assert H % th == 0 and W % tw == 0, (H, W, th, tw)
 
 
-def test_choose_tile_dims_never_breaks_grid_divisibility():
-    """Doubling must stop at the largest tile that still divides the image:
-    at H=384 (the HRNet input height — a legal render size) a huge chunk
-    count used to double 128 -> 256, which does not divide 384 and tripped
-    the kernel's grid assert."""
-    for H, W in ((384, 288), (384, 384), (512, 384), (768, 512)):
-        for nc in (1, 108, 300, 3000, 10**5):
-            th, tw = rp._choose_tile_dims(H, W, nc)
-            assert H % th == 0 and W % tw == 0, (H, W, nc, th, tw)
-    # Unchanged on the measured configs: 256^2 stays 16x16, 512^2 -> 32x32.
-    assert rp._choose_tile_dims(256, 256, 108) == (16, 16)
-    assert rp._choose_tile_dims(512, 512, 108) == (32, 32)
+def test_tile_axis_padding_to_tile_group(interpret_pallas):
+    """Image sizes whose tile count is not a multiple of TILE_GROUP (e.g.
+    96^2 at 16x16 -> 36 tiles) must render identically — the padded
+    work-list rows are never visited by the grid."""
+    H = W = 96
+    th, tw = rp._choose_tile_dims(H, W)
+    assert ((H // th) * (W // tw)) % rp.TILE_GROUP != 0  # the case under test
+    V, F, B = 50, 30, 2
+    rng = np.random.RandomState(5)
+    verts = jnp.asarray(np.stack([
+        np.stack([rng.rand(V) * (W - 2), rng.rand(V) * (H - 2),
+                  rng.rand(V) * 3 + 1], axis=-1) for _ in range(B)]
+    ).astype(np.float32))
+    faces = jnp.asarray(rng.randint(0, V, (F, 3)).astype(np.int32))
+    attrs = jnp.asarray(rng.rand(B, V, 4).astype(np.float32))
+    _compare(verts, faces, attrs, (H, W))
