@@ -75,9 +75,13 @@ def run_predict(args):
     hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
 
     # Object detection (only needed for uncropped inputs). Pluggable: the
-    # reference uses torchvision Mask-RCNN; here any callable works.
+    # reference uses torchvision Mask-RCNN; --detector keypoint (or 'auto'
+    # without torchvision) uses the torch-free HRNet keypoint bootstrap
+    # (predict/keypoint_detector.py), 'none' keeps whole-image boxes.
     object_detect_fn = None
-    if not args.cropped_images:
+    want_detector = not args.cropped_images and args.detector != "none"
+    use_keypoint = args.detector == "keypoint"
+    if want_detector and args.detector in ("auto", "maskrcnn"):
         try:
             import torch
             from torchvision.models.detection import maskrcnn_resnet50_fpn
@@ -88,8 +92,11 @@ def run_predict(args):
                     out = det(torch.from_numpy(np.asarray(image))[None])[0]
                 return {k: v.numpy() for k, v in out.items()}
         except Exception as e:  # no weights / torchvision unavailable
-            print(f"WARNING: person detector unavailable ({e}); "
-                  f"using whole-image bounding boxes.")
+            if args.detector == "maskrcnn":
+                raise
+            use_keypoint = True
+            print(f"NOTE: torchvision Mask-RCNN unavailable ({e}); using "
+                  f"the torch-free HRNet keypoint-bootstrap detector.")
 
     # HRNet
     hrnet_model = PoseHighResolutionNet(num_joints=hrnet_cfg.MODEL.NUM_JOINTS)
@@ -112,6 +119,14 @@ def run_predict(args):
     else:
         hrnet_apply = hrnet_model.apply
     print("Loaded HRNet weights." if args.pose2D_hrnet_weights else "")
+
+    if want_detector and use_keypoint and object_detect_fn is None:
+        # Torch-free person localisation: bootstrap the bbox from the 2D
+        # keypoint model the pipeline already carries (no extra weights).
+        from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+            make_keypoint_bootstrap_detector)
+        object_detect_fn = make_keypoint_bootstrap_detector(
+            hrnet_apply, hrnet_cfg, hrnet_vars=hrnet_vars)
 
     # Canny
     edge_detect_model = CannyEdgeDetector(
@@ -247,6 +262,13 @@ def build_parser():
     parser.add_argument("--pose2D_hrnet_weights", "-W2D", type=str, default=None)
     parser.add_argument("--cropped_images", "-C", action="store_true",
                         help="Images are already cropped and centred.")
+    parser.add_argument("--detector", type=str, default="auto",
+                        choices=["auto", "maskrcnn", "keypoint", "none"],
+                        help="Person detector for uncropped inputs: "
+                             "torchvision Mask-RCNN, the torch-free HRNet "
+                             "keypoint bootstrap, or none (whole-image "
+                             "boxes). 'auto' tries Mask-RCNN then falls "
+                             "back to the keypoint bootstrap.")
     parser.add_argument("--visualise_samples", "-VS", action="store_true")
     parser.add_argument("--visualise_uncropped", "-VU", action="store_true")
     parser.add_argument("--joints2Dvisib_threshold", "-T", type=float, default=0.75)

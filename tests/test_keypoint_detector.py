@@ -1,0 +1,106 @@
+"""HRNet keypoint-bootstrap person detector (predict/keypoint_detector.py).
+
+No trained HRNet ships in this environment, so accuracy-vs-Mask-RCNN cannot
+be measured here; what these tests pin is the part that CAN silently break —
+the geometry loop: crop affine -> heatmap peak -> inverse mapping to
+original-image coordinates -> margin expansion -> refined crop. The stub
+HRNet is CONTENT-AWARE (its heatmap peaks sit at the centroid of image
+brightness in whatever crop it is given), so a wrong inverse mapping or a
+wrong margin sign sends the bbox away from the bright "person" and the
+convergence assertion fails.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hierarchicalprobabilistic3dhuman_tpu.configs import (
+    get_pose2d_hrnet_cfg_defaults)
+from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+    make_keypoint_bootstrap_detector)
+
+HRNET_CFG = get_pose2d_hrnet_cfg_defaults()
+HM_W, HM_H = HRNET_CFG.MODEL.HEATMAP_SIZE
+
+
+def _centroid_stub(spread=4):
+    """Heatmaps whose 17 peaks form a small 2-D cloud around the brightness
+    centroid of the (normalised) input crop — a fake 'person detector' that
+    actually looks at pixels, so a wrong inverse mapping moves the box off
+    the bright subject."""
+
+    def stub(x):  # (B, 3, 384, 288) normalised
+        B, _, H, W = x.shape
+        lum = x.sum(axis=1)                                   # (B, H, W)
+        lum = lum - lum.min(axis=(1, 2), keepdims=True)
+        total = lum.sum(axis=(1, 2)) + 1e-6
+        ys = (lum * jnp.arange(H)[None, :, None]).sum(axis=(1, 2)) / total
+        xs = (lum * jnp.arange(W)[None, None, :]).sum(axis=(1, 2)) / total
+        hm = jnp.zeros((B, 17, HM_H, HM_W))
+        for j in range(17):
+            dy = (j // 3 - 2.5) * spread                      # ~person-shaped
+            dx = (j % 3 - 1) * spread                         # 2-D cloud
+            py = jnp.clip((ys / 4.0 + dy).astype(jnp.int32), 0, HM_H - 1)
+            px = jnp.clip((xs / 4.0 + dx).astype(jnp.int32), 0, HM_W - 1)
+            hm = hm.at[jnp.arange(B), j, py, px].set(0.9)
+        return hm
+
+    return stub
+
+
+def test_bbox_converges_on_bright_subject():
+    H, W = 512, 384
+    # the "person": an off-centre gaussian blob (smooth brightness, so the
+    # stub's centroid stays well-defined inside ANY sub-crop — a uniform
+    # block saturates the refined crop and degenerates the centroid)
+    sy, sx = 240.0, 120.0
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.broadcast_to(
+        np.exp(-(((yy - sy) / 80.0) ** 2 + ((xx - sx) / 40.0) ** 2)),
+        (3, H, W)).astype(np.float32)
+
+    detect = make_keypoint_bootstrap_detector(
+        _centroid_stub(), HRNET_CFG, n_iters=2, conf_threshold=0.3,
+        min_visible=6)
+    out = detect(jnp.asarray(img))
+    assert out["boxes"].shape == (1, 4)
+    assert out["labels"][0] == 1 and out["scores"][0] == 1.0
+    bx0, by0, bx1, by1 = out["boxes"][0]
+    # The stub's peaks cluster on the blob centroid, so the detected box
+    # must be centred on the blob...
+    cx, cy = (bx0 + bx1) / 2, (by0 + by1) / 2
+    assert abs(cx - sx) < 25, out["boxes"]
+    assert abs(cy - sy) < 35, out["boxes"]
+    # ...a real localisation (neither degenerate nor the whole frame), and
+    # inside it.
+    assert 10 < (bx1 - bx0) < 0.8 * W, out["boxes"]
+    assert 30 < (by1 - by0) < 0.9 * H, out["boxes"]
+    assert bx0 >= 0 and by0 >= 0 and bx1 <= W and by1 <= H
+
+
+def test_no_confident_keypoints_means_no_detection():
+    def dead_stub(x):
+        return jnp.zeros((x.shape[0], 17, HM_H, HM_W))
+
+    detect = make_keypoint_bootstrap_detector(dead_stub, HRNET_CFG)
+    out = detect(jnp.zeros((3, 256, 256)))
+    assert out["boxes"].shape == (0, 4)
+    # select_centremost_person_box must fall back to the whole frame on this
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+        select_centremost_person_box)
+    centre, h, w = select_centremost_person_box(out, (256, 256))
+    assert h == 256 and w == 256
+
+
+def test_detection_feeds_box_selection():
+    """The emitted dict plugs into select_centremost_person_box (the
+    torchvision-contract consumer) and survives its person/score filter."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+        select_centremost_person_box)
+    H, W = 400, 300
+    img = np.zeros((3, H, W), np.float32)
+    img[:, 100:300, 80:220] = 1.0
+    detect = make_keypoint_bootstrap_detector(_centroid_stub(), HRNET_CFG)
+    out = detect(jnp.asarray(img))
+    centre, h, w = select_centremost_person_box(out, (H, W), threshold=0.95)
+    assert h < H and w < W  # a real (non-fallback) box survived
