@@ -6,13 +6,23 @@ scatter-friendly z-buffer primitive, so rasterization is formulated as a
 per-pixel min-reduction over faces, streamed in fixed-size face chunks:
 
   for each chunk of faces:
-      edge functions for (pixels x chunk)   -> coverage + barycentrics
-      z = sum_i w_i z_i                     -> chunk depth
-      winner-take-all vs running z-buffer   -> update depth + attributes
+      barycentric weights for (pixels x chunk) -> coverage
+      z plane evaluated per pixel             -> chunk depth
+      winner-take-all vs running z-buffer     -> update depth + attributes
+
+Both backends consume the SAME packed per-face tables
+(ops.rasterizer_pallas.pack_face_tables): barycentric-RATIO rows
+[wa_k, wb_k, wc_k] with w_k(x, y) = wa_k x + wb_k y + wc_k the weight
+directly (edge function pre-divided by 2x signed area at pack time) and a
+per-face depth plane [za, zb, zc]. Coverage is w0 >= 0 & w1 >= 0 &
+w2 >= 0 with w2 = 1 - w0 - w1 (partition of unity exact by construction;
+degenerate faces pack as w0 == -1 -> never covered). Sharing the packed
+tables keeps the two backends' coverage masks bit-identical — the per-face
+division happens ONCE in the same XLA op for both.
 
 The XLA backend below scans face chunks with `lax.scan` (correct everywhere,
 tractable at 256^2 x 13774 faces) and maps over the batch with `lax.map` to
-bound memory. A Pallas-tiled variant with the same semantics lives in
+bound memory. The Pallas-tiled variant with the same semantics lives in
 ops/rasterizer_pallas.py (used on TPU for speed).
 
 Conventions: verts are in *screen space* — x = column pixels (right), y = row
@@ -29,37 +39,29 @@ from jax import lax
 _INF = 1e30
 
 
-def _pad_faces(face_verts, face_attrs, chunk):
-    """Pad the face axis to a multiple of chunk with degenerate faces."""
-    F = face_verts.shape[0]
-    pad = (-F) % chunk
-    if pad:
-        face_verts = jnp.concatenate(
-            [face_verts, jnp.zeros((pad,) + face_verts.shape[1:], face_verts.dtype)], axis=0)
-        face_attrs = jnp.concatenate(
-            [face_attrs, jnp.zeros((pad,) + face_attrs.shape[1:], face_attrs.dtype)], axis=0)
-    return face_verts, face_attrs
+def rasterize_packed_one(geom_t, face_attrs, image_hw, znear=1e-3, chunk=256):
+    """Rasterize one mesh from packed face tables.
 
-
-def rasterize_one(face_verts, face_attrs, image_hw, znear=1e-3, chunk=256):
-    """Rasterize one mesh.
-
-    :param face_verts: (F, 3, 3) per-face corner screen coords [x, y, z]
-    :param face_attrs: (F, 3, A) per-face corner attributes
+    :param geom_t: (16, Fp) barycentric-ratio + depth-plane rows
+        (pack_face_tables layout; Fp a multiple of FACE_CHUNK)
+    :param face_attrs: (Fp, 3A) per-face corner attributes
+        [attr_v0 | attr_v1 | attr_v2]
     :param image_hw: (H, W) static
     :param znear: faces with interpolated depth <= znear are culled
-    :param chunk: faces processed per scan step (memory/speed knob)
-    :return: attrs (H, W, A), depth (H, W) (+inf where empty), mask (H, W) bool
+    :param chunk: faces processed per scan step (memory/speed knob; rounded
+        down to a divisor of Fp)
+    :return: attrs (H, W, A), depth (H, W) (+inf where empty), mask (H, W)
     """
     H, W = image_hw
-    A = face_attrs.shape[-1]
+    A = face_attrs.shape[-1] // 3
     P = H * W
-    dtype = face_verts.dtype
-
-    face_verts, face_attrs = _pad_faces(face_verts, face_attrs, chunk)
-    n_chunks = face_verts.shape[0] // chunk
-    fv = face_verts.reshape(n_chunks, chunk, 3, 3)
-    fa = face_attrs.reshape(n_chunks, chunk, 3, A)
+    dtype = geom_t.dtype
+    Fp = geom_t.shape[1]
+    while Fp % chunk:
+        chunk //= 2
+    n_chunks = Fp // chunk
+    g = geom_t.reshape(16, n_chunks, chunk).transpose(1, 0, 2)  # (n, 16, C)
+    fa = face_attrs.reshape(n_chunks, chunk, 3 * A)
 
     # Pixel centres (P, 1) each.
     cols = (jnp.arange(W, dtype=dtype) + 0.5)
@@ -69,45 +71,13 @@ def rasterize_one(face_verts, face_attrs, image_hw, znear=1e-3, chunk=256):
 
     def body(carry, chunk_data):
         zbuf, attr_buf = carry
-        cv, ca = chunk_data           # (C, 3, 3), (C, 3, A)
-        x = cv[:, :, 0]               # (C, 3)
-        y = cv[:, :, 1]
-        z = cv[:, :, 2]
+        gc, ca = chunk_data           # (16, C), (C, 3A)
 
-        # Edge functions e_k linear in pixel coords: e_k = a_k*px + b_k*py + c_k
-        # e_k is the signed area opposite vertex k.
-        def edge(i, j):
-            a = y[:, i] - y[:, j]
-            b = x[:, j] - x[:, i]
-            c = x[:, i] * y[:, j] - y[:, i] * x[:, j]
-            return px * a[None, :] + py * b[None, :] + c[None, :]  # (P, C)
-
-        e0 = edge(1, 2)
-        e1 = edge(2, 0)
-        e2 = edge(0, 1)
-        # 2 * signed area, computed from vertex coords directly: summing the
-        # edge functions instead would let FMA-contraction noise resurrect
-        # exactly-degenerate faces (zero-area slivers at mesh poles).
-        denom = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
-                 - (y[:, 1] - y[:, 0]) * (x[:, 2] - x[:, 0]))[None, :]  # (1, C)
-
-        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (denom > 1e-9)
-        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0) & (denom < -1e-9)
-        covered = pos | neg
-
-        inv_denom = 1.0 / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
-        w0 = e0 * inv_denom
-        w1 = e1 * inv_denom
-        w2 = e2 * inv_denom
-        # Renormalise: FMA rounding makes w sums drift on sliver faces.
-        wsum = w0 + w1 + w2
-        inv_wsum = 1.0 / jnp.where(jnp.abs(wsum) > 1e-6, wsum, 1.0)
-        w0 = w0 * inv_wsum
-        w1 = w1 * inv_wsum
-        w2 = w2 * inv_wsum
-
-        zpix = w0 * z[None, :, 0] + w1 * z[None, :, 1] + w2 * z[None, :, 2]
-        covered = covered & (zpix > znear)
+        w0 = px * gc[0:1] + py * gc[1:2] + gc[2:3]   # (P, C)
+        w1 = px * gc[3:4] + py * gc[4:5] + gc[5:6]
+        w2 = 1.0 - w0 - w1
+        zpix = px * gc[6:7] + py * gc[7:8] + gc[8:9]
+        covered = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (zpix > znear)
         zmasked = jnp.where(covered, zpix, _INF)      # (P, C)
 
         chunk_zmin = jnp.min(zmasked, axis=1)          # (P,)
@@ -117,16 +87,16 @@ def rasterize_one(face_verts, face_attrs, image_hw, znear=1e-3, chunk=256):
         first = jnp.cumsum(winner.astype(jnp.int32), axis=1) == 1
         winner = winner & first
 
-        new_attr = ((winner * w0) @ ca[:, 0, :]
-                    + (winner * w1) @ ca[:, 1, :]
-                    + (winner * w2) @ ca[:, 2, :])     # (P, A)
+        new_attr = ((winner * w0) @ ca[:, :A]
+                    + (winner * w1) @ ca[:, A:2 * A]
+                    + (winner * w2) @ ca[:, 2 * A:])   # (P, A)
         attr_buf = jnp.where(better[:, None], new_attr, attr_buf)
         zbuf = jnp.minimum(zbuf, chunk_zmin)
         return (zbuf, attr_buf), None
 
     zbuf0 = jnp.full((P,), _INF, dtype)
     attr0 = jnp.zeros((P, A), dtype)
-    (zbuf, attrs), _ = lax.scan(body, (zbuf0, attr0), (fv, fa))
+    (zbuf, attrs), _ = lax.scan(body, (zbuf0, attr0), (g, fa))
 
     mask = zbuf < _INF
     return (attrs.reshape(H, W, A),
@@ -149,17 +119,18 @@ def rasterize(verts_screen, faces, vert_attrs, image_hw, znear=1e-3, chunk=256,
     :param image_hw: (H, W)
     :return: dict attrs (B, H, W, A), depth (B, H, W), mask (B, H, W)
     """
+    from hierarchicalprobabilistic3dhuman_tpu.ops.rasterizer_pallas import (
+        pack_face_tables, rasterize_batched_pallas)
     if backend == "pallas":
-        from hierarchicalprobabilistic3dhuman_tpu.ops.rasterizer_pallas import (
-            rasterize_batched_pallas)
         return rasterize_batched_pallas(verts_screen, faces, vert_attrs,
                                         image_hw, znear=znear)
 
-    def one(args):
-        verts, attrs = args
-        fv = verts[faces]                      # (F, 3, 3)
-        fa = gather_face_attrs(attrs, faces)   # (F, 3, A)
-        return rasterize_one(fv, fa, image_hw, znear=znear, chunk=chunk)
+    geom_t, face_attrs, _ = pack_face_tables(verts_screen, faces, vert_attrs)
 
-    attrs, depth, mask = lax.map(one, (verts_screen, vert_attrs))
+    def one(args):
+        g_img, fa_img = args
+        return rasterize_packed_one(g_img, fa_img, image_hw, znear=znear,
+                                    chunk=chunk)
+
+    attrs, depth, mask = lax.map(one, (geom_t, face_attrs))
     return {"attrs": attrs, "depth": depth, "mask": mask}

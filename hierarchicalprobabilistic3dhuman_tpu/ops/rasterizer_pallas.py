@@ -30,10 +30,23 @@ TPU hardware:
     versus ~50 ms for the whole rasterize kernel. No sort, no gathers, and
     row+col skipping beats row-only.)
 
-Geometry table rows (16, F):
-  [a0, b0, c0, a1, b1, c1, a2, b2, c2, denom, z0, z1, z2, 0, 0, 0]
-where e_k(x, y) = a_k x + b_k y + c_k are edge functions and denom is 2x the
-signed area. Attribute table is (F, 3A): [attr_v0 | attr_v1 | attr_v2].
+Geometry table rows (16, F) — BARYCENTRIC-RATIO form (round 4):
+  [wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc, 0, 0, 0, 0, 0, 0, 0]
+where w_k(x, y) = wa_k x + wb_k y + wc_k is the k-th barycentric weight
+DIRECTLY (the edge function pre-divided by 2x the signed area at pack time)
+and z(x, y) = za x + zb y + zc is the face's depth plane. The kernel then
+computes per (pixel, face):
+    w0, w1 (2 FMAs each), w2 = 1 - w0 - w1, z (2 FMAs),
+    covered = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (z > znear)
+— versus round 3's edge-function form which paid, per pair, 3 edge FMAs, a
+two-sided 8-compare sign test, a guarded reciprocal of denom, 3 weight
+multiplies AND a 5-op weight renormalisation (the w2 = 1 - w0 - w1 identity
+makes partition-of-unity exact by construction, so sliver-face renorm is
+free). ~45 -> ~25 VPU ops per (pixel, face) pair; the division and the
+degenerate-face test move to pack time where they run once per FACE instead
+of once per (pixel, face). Degenerate faces (|2*area| <= 1e-9, incl.
+padding) pack as w0 = -1 everywhere -> never covered.
+Attribute table is (F, 3A): [attr_v0 | attr_v1 | attr_v2].
 """
 
 from functools import partial
@@ -130,12 +143,31 @@ def pack_face_tables(verts_screen, faces, vert_attrs, sort_by_y=False):
 
     a0, b0, c0 = edge(1, 2)
     a1, b1, c1 = edge(2, 0)
-    a2, b2, c2 = edge(0, 1)
+    # denom = 2 * signed area, computed from vertex coords directly: summing
+    # the edge functions instead would let FMA-contraction noise resurrect
+    # exactly-degenerate faces (zero-area slivers at mesh poles).
     denom = ((x[..., 1] - x[..., 0]) * (y[..., 2] - y[..., 0])
              - (y[..., 1] - y[..., 0]) * (x[..., 2] - x[..., 0]))
+    degenerate = jnp.abs(denom) <= 1e-9
+    inv = 1.0 / jnp.where(degenerate, 1.0, denom)
+    # Barycentric-ratio rows: w_k(x, y) = wa_k x + wb_k y + wc_k. Degenerate
+    # faces pack as w0 == -1 everywhere so the kernel never covers them.
+    wa0 = jnp.where(degenerate, 0.0, a0 * inv)
+    wb0 = jnp.where(degenerate, 0.0, b0 * inv)
+    wc0 = jnp.where(degenerate, -1.0, c0 * inv)
+    wa1 = jnp.where(degenerate, 0.0, a1 * inv)
+    wb1 = jnp.where(degenerate, 0.0, b1 * inv)
+    wc1 = jnp.where(degenerate, 0.0, c1 * inv)
+    # Depth plane z(x, y) = za x + zb y + zc from
+    # z = z2 + w0 (z0 - z2) + w1 (z1 - z2).
+    dz0 = z[..., 0] - z[..., 2]
+    dz1 = z[..., 1] - z[..., 2]
+    za = wa0 * dz0 + wa1 * dz1
+    zb = wb0 * dz0 + wb1 * dz1
+    zc = jnp.where(degenerate, 0.0, z[..., 2] + wc0 * dz0 + wc1 * dz1)
     zeros = jnp.zeros_like(denom)
-    geom_t = jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2, denom,
-                        z[..., 0], z[..., 1], z[..., 2], zeros, zeros, zeros],
+    geom_t = jnp.stack([wa0, wb0, wc0, wa1, wb1, wc1, za, zb, zc,
+                        zeros, zeros, zeros, zeros, zeros, zeros, zeros],
                        axis=-2)          # (B, 16, F)
     B, Fp = x.shape[:2]
     A = fa.shape[-1]
@@ -143,8 +175,6 @@ def pack_face_tables(verts_screen, faces, vert_attrs, sort_by_y=False):
 
     # Per-chunk screen bboxes. Degenerate faces (zero area, incl. padding)
     # get an empty range so pure-padding chunks never execute.
-    degenerate = jnp.abs(denom) <= 1e-9
-
     def axis_ranges(coord):
         lo = jnp.where(degenerate, 1e9, jnp.min(coord, axis=-1))   # (B, Fp)
         hi = jnp.where(degenerate, -1e9, jnp.max(coord, axis=-1))
@@ -201,8 +231,14 @@ def build_tile_chunk_lists(chunk_ranges, image_hw, tile_h, tile_w):
     return counts, lists
 
 
-def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, attr_out_ref,
-                   depth_out_ref, zbuf_ref, accum_ref, *, num_attrs,
+def _out_channels(num_attrs):
+    """Packed output channel count: attrs + depth, padded to a sublane
+    multiple (Mosaic block rule: second-minor block dim divisible by 8)."""
+    return -(-(num_attrs + 1) // 8) * 8
+
+
+def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, out_ref,
+                   zbuf_ref, accum_ref, *, num_attrs,
                    znear, tile_h, tile_w, tiles_x):
     blk = pl.program_id(1)
     P = tile_h * tile_w
@@ -231,27 +267,15 @@ def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, attr_out_ref,
         g = geom_ref[:, sl]                                 # (16, FC)
         fa = attr_ref[sl, :]                                # (FC, 3A)
 
-        e0 = px * g[0:1] + py * g[1:2] + g[2:3]             # (P, FC)
-        e1 = px * g[3:4] + py * g[4:5] + g[5:6]
-        e2 = px * g[6:7] + py * g[7:8] + g[8:9]
-        denom = g[9:10]                                     # (1, FC)
-
-        pos = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (denom > 1e-9)
-        neg = (e0 <= 0) & (e1 <= 0) & (e2 <= 0) & (denom < -1e-9)
-        covered = pos | neg
-
-        inv = 1.0 / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0)
-        w0 = e0 * inv
-        w1 = e1 * inv
-        w2 = e2 * inv
-        # Renormalise: FMA rounding makes w sums drift on sliver faces.
-        wsum = w0 + w1 + w2
-        inv_wsum = 1.0 / jnp.where(jnp.abs(wsum) > 1e-6, wsum, 1.0)
-        w0 = w0 * inv_wsum
-        w1 = w1 * inv_wsum
-        w2 = w2 * inv_wsum
-        zpix = w0 * g[10:11] + w1 * g[11:12] + w2 * g[12:13]
-        covered = covered & (zpix > znear)
+        # Barycentric weights + depth are PRE-DIVIDED affine forms (see
+        # module docstring): 6 FMAs, 4 compares, no reciprocal, no
+        # renormalisation (w2 = 1 - w0 - w1 makes the partition of unity
+        # exact by construction). Degenerate faces packed as w0 == -1.
+        w0 = px * g[0:1] + py * g[1:2] + g[2:3]             # (P, FC)
+        w1 = px * g[3:4] + py * g[4:5] + g[5:6]
+        w2 = 1.0 - w0 - w1
+        zpix = px * g[6:7] + py * g[7:8] + g[8:9]
+        covered = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (zpix > znear)
         zmasked = jnp.where(covered, zpix, _INF)            # (P, FC)
 
         chunk_zmin = jnp.min(zmasked, axis=1, keepdims=True)  # (P, 1)
@@ -279,14 +303,27 @@ def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, attr_out_ref,
                   lambda j, _: (compute(lists_ref[row, j]), 0)[1], 0,
                   unroll=False)
 
-    # Outputs stay flat (P, .) tile blocks; XLA's reassemble transpose then
-    # converts the channel-minor (lane-padded 12->128) buffer into a compact
-    # layout ONCE. (A variant writing directly into (B, H, W, A) raster
-    # layout measured 75 ms/step SLOWER at bs=72: every downstream consumer
-    # then read the 10.7x-padded channel-minor buffer — round/clamp/slice
-    # fusions over ~2.4 GB each — where the single transpose copy is ~4 ms.)
-    attr_out_ref[...] = accum_ref[...]
-    depth_out_ref[...] = zbuf_ref[...]
+    # ONE channels-second-minor output block (OUT_C, P): attrs + depth
+    # concatenated and TRANSPOSED in-register, so the HBM buffer's minor dim
+    # is P (lane-exact) instead of A. Round 3 wrote two channel-minor blocks
+    # (P, A) + (P, 1); T(8,128) tiling padded their minor dims 12->128 and
+    # 1->128 in HBM — ~4.8 GB of mostly-padding DMA per bs=72 step INSIDE
+    # the kernel (profiled: the kernel was ~entirely per-tile fixed cost;
+    # only ~0.5% of (tile, chunk) pairs survive culling, yet every tile paid
+    # a 262 KB padded write), plus a 3.9 ms reassemble copy and a 4.2 ms
+    # mask compare downstream, each re-reading 10.7x-128x padded buffers.
+    # (The round-3 alternative of writing (B, H, W, A) raster layout
+    # directly measured 75 ms/step SLOWER — consumers then read the padded
+    # channel-minor buffer; this transposed-block layout is the compact
+    # escape: 300 MB/step, one cheap reassemble transpose.)
+    OUT_C = _out_channels(num_attrs)
+    P_, A_ = tile_h * tile_w, num_attrs
+    packed = jnp.concatenate(
+        [accum_ref[...], zbuf_ref[...]]
+        + ([jnp.zeros((P_, OUT_C - A_ - 1), jnp.float32)]
+           if OUT_C > A_ + 1 else []),
+        axis=1)                                     # (P, OUT_C)
+    out_ref[...] = packed.T                         # (OUT_C, P)
 
 
 def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
@@ -323,10 +360,11 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
         counts = jnp.pad(counts, ((0, 0), (0, T8 - n_tiles), (0, 0)))
         lists = jnp.pad(lists, ((0, 0), (0, T8 - n_tiles), (0, 0)))
 
+    OUT_C = _out_channels(A)
     kernel = partial(_raster_kernel, num_attrs=A,
                      znear=znear, tile_h=tile_h, tile_w=tile_w,
                      tiles_x=tiles_x)
-    attr_img, depth = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
@@ -341,31 +379,24 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
             pl.BlockSpec((None, Fp, 3 * A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, P, A), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((None, OUT_C, P), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, A), jnp.float32),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n_tiles * P, A), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles * P, 1), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * OUT_C, P), jnp.float32),
         # Double-buffering the streamed face tables puts peak scoped VMEM
         # ~0.5 MB over the 16 MB compiler default; v5e has 128 MB physical.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(counts, lists, geom_t, attrs)
 
-    def reassemble(img, ch):
-        img = img.reshape(B, tiles_y, tiles_x, tile_h, tile_w, ch)
-        return img.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, ch)
-
-    return reassemble(attr_img, A), reassemble(depth, 1)[..., 0]
+    # (B, T*OUT_C, P) -> (B, H, W, OUT_C); the transpose now moves a compact
+    # lane-exact buffer (~300 MB at bs=72/256^2/A=12 vs 4.8 GB padded before).
+    out = out.reshape(B, tiles_y, tiles_x, OUT_C, tile_h, tile_w)
+    out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, OUT_C)
+    return out[..., :A], out[..., A]
 
 
 def rasterize_batched_pallas(verts_screen, faces, vert_attrs, image_hw,
