@@ -243,87 +243,106 @@ def _raster_kernel(counts_ref, lists_ref, geom_ref, attr_ref, out_ref,
     blk = pl.program_id(1)
     P = tile_h * tile_w
     A = num_attrs
+    OUT_C = _out_channels(num_attrs)
 
-    ty = blk // tiles_x
-    tx = blk % tiles_x
-    row0 = ty * tile_h
-    col0 = tx * tile_w
+    flat = lax.broadcasted_iota(jnp.int32, (1, P), 1)      # (1, P) in-tile ids
 
-    flat = lax.broadcasted_iota(jnp.int32, (P, 1), 0)      # (P, 1) in-tile ids
-    py = (row0 + flat // tile_w).astype(jnp.float32) + 0.5
-    px = (col0 + flat % tile_w).astype(jnp.float32) + 0.5
-
-    # Scratch persists across grid steps: reset per tile.
-    zbuf_ref[...] = jnp.full((P, 1), _INF, jnp.float32)
-    accum_ref[...] = jnp.zeros((P, A), jnp.float32)
-
-    def compute(c):
+    def compute(c, px, py):
+        # TRANSPOSED accumulators: everything here is faces-on-SUBLANES,
+        # pixels-on-LANES — (FC, P) — so the per-TILE output block
+        # (OUT_C, P) assembles by sublane concat with NO transpose. The two
+        # small input transposes below run per surviving (tile, chunk) PAIR
+        # (~130/img after culling) instead of a (P, OUT_C) -> (OUT_C, P)
+        # output transpose per TILE (256/img at 256^2) — the output
+        # transpose measured 122 ns/tile = 2.25 ms/step at bs=72 (floor
+        # probe, round 4), ~37% of the kernel's empty-tile floor.
         # (A two-phase variant that deferred the 3 interpolation matmuls to
         # a winners-only second pass measured SLOWER — the per-pair cost is
-        # dominated by the (P, FC) edge-function VPU work, not the MXU.)
-        zbuf = zbuf_ref[...]                                # (P, 1)
-        attrs = accum_ref[...]                              # (P, A)
+        # dominated by the barycentric VPU work, not the MXU.)
+        zbuf = zbuf_ref[...]                                # (1, P)
+        attrs = accum_ref[...]                              # (A, P)
         sl = pl.ds(c * FACE_CHUNK, FACE_CHUNK)
-        g = geom_ref[:, sl]                                 # (16, FC)
-        fa = attr_ref[sl, :]                                # (FC, 3A)
+        g = geom_ref[:, sl].T                               # (FC, 16)
+        fa = attr_ref[sl, :].T                              # (3A, FC)
 
         # Barycentric weights + depth are PRE-DIVIDED affine forms (see
         # module docstring): 6 FMAs, 4 compares, no reciprocal, no
         # renormalisation (w2 = 1 - w0 - w1 makes the partition of unity
         # exact by construction). Degenerate faces packed as w0 == -1.
-        w0 = px * g[0:1] + py * g[1:2] + g[2:3]             # (P, FC)
-        w1 = px * g[3:4] + py * g[4:5] + g[5:6]
+        w0 = px * g[:, 0:1] + py * g[:, 1:2] + g[:, 2:3]    # (FC, P)
+        w1 = px * g[:, 3:4] + py * g[:, 4:5] + g[:, 5:6]
         w2 = 1.0 - w0 - w1
-        zpix = px * g[6:7] + py * g[7:8] + g[8:9]
+        zpix = px * g[:, 6:7] + py * g[:, 7:8] + g[:, 8:9]
         covered = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (zpix > znear)
-        zmasked = jnp.where(covered, zpix, _INF)            # (P, FC)
+        zmasked = jnp.where(covered, zpix, _INF)            # (FC, P)
 
-        chunk_zmin = jnp.min(zmasked, axis=1, keepdims=True)  # (P, 1)
+        chunk_zmin = jnp.min(zmasked, axis=0, keepdims=True)   # (1, P)
         better = chunk_zmin < zbuf
-        win_idx = jnp.argmin(zmasked, axis=1)                 # (P,)
-        face_ids = lax.broadcasted_iota(jnp.int32, (P, FACE_CHUNK), 1)
-        onehot = (face_ids == win_idx[:, None]) & (chunk_zmin < _INF) & better
+        win_idx = jnp.argmin(zmasked, axis=0)                  # (P,)
+        face_ids = lax.broadcasted_iota(jnp.int32, (FACE_CHUNK, P), 0)
+        onehot = ((face_ids == win_idx[None, :]) & (chunk_zmin < _INF)
+                  & better)
 
         m0 = jnp.where(onehot, w0, 0.0)
         m1 = jnp.where(onehot, w1, 0.0)
         m2 = jnp.where(onehot, w2, 0.0)
-        new_attr = (jnp.dot(m0, fa[:, :A], preferred_element_type=jnp.float32)
-                    + jnp.dot(m1, fa[:, A:2 * A], preferred_element_type=jnp.float32)
-                    + jnp.dot(m2, fa[:, 2 * A:], preferred_element_type=jnp.float32))
+        new_attr = (jnp.dot(fa[:A], m0, preferred_element_type=jnp.float32)
+                    + jnp.dot(fa[A:2 * A], m1, preferred_element_type=jnp.float32)
+                    + jnp.dot(fa[2 * A:], m2, preferred_element_type=jnp.float32))
 
         accum_ref[...] = jnp.where(better, new_attr, attrs)
         zbuf_ref[...] = jnp.minimum(zbuf, chunk_zmin)
 
-    # Compacted 2-D binning: this tile's row of the streamed TILE_GROUP-row
-    # SMEM window holds exactly the chunks whose screen bbox overlaps the
-    # tile (built by build_tile_chunk_lists) — no per-chunk branch, no
-    # wasted iterations over the ~95-99% of chunks that miss the tile.
-    row = blk % TILE_GROUP
-    lax.fori_loop(0, counts_ref[row, 0],
-                  lambda j, _: (compute(lists_ref[row, j]), 0)[1], 0,
-                  unroll=False)
+    # TILE_GROUP tiles per grid step (unrolled): the per-grid-step fixed
+    # cost — output-block DMA issue, pipeline bookkeeping, kernel
+    # prologue/epilogue — measured 747 ns/step and dominated the kernel
+    # (benchmarks/raster_split.py: 13.8 ms per-tile floor vs 5.9 ms of
+    # actual (tile, chunk) pair work at bs=72/256^2 — culling is so
+    # effective, ~130 pairs/img of 27.6k dense, that EMPTY tiles' fixed
+    # cost was 70% of the render). Fat steps amortise that floor 8x; the
+    # step's work-list window is exactly the streamed TILE_GROUP-row SMEM
+    # block, and the output block carries the step's 8 (OUT_C, P) tile
+    # blocks stacked on the second-minor axis.
+    for t in range(TILE_GROUP):
+        tile = blk * TILE_GROUP + t
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        row0 = ty * tile_h
+        col0 = tx * tile_w
+        py = (row0 + flat // tile_w).astype(jnp.float32) + 0.5
+        px = (col0 + flat % tile_w).astype(jnp.float32) + 0.5
 
-    # ONE channels-second-minor output block (OUT_C, P): attrs + depth
-    # concatenated and TRANSPOSED in-register, so the HBM buffer's minor dim
-    # is P (lane-exact) instead of A. Round 3 wrote two channel-minor blocks
-    # (P, A) + (P, 1); T(8,128) tiling padded their minor dims 12->128 and
-    # 1->128 in HBM — ~4.8 GB of mostly-padding DMA per bs=72 step INSIDE
-    # the kernel (profiled: the kernel was ~entirely per-tile fixed cost;
-    # only ~0.5% of (tile, chunk) pairs survive culling, yet every tile paid
-    # a 262 KB padded write), plus a 3.9 ms reassemble copy and a 4.2 ms
-    # mask compare downstream, each re-reading 10.7x-128x padded buffers.
-    # (The round-3 alternative of writing (B, H, W, A) raster layout
-    # directly measured 75 ms/step SLOWER — consumers then read the padded
-    # channel-minor buffer; this transposed-block layout is the compact
-    # escape: 300 MB/step, one cheap reassemble transpose.)
-    OUT_C = _out_channels(num_attrs)
-    P_, A_ = tile_h * tile_w, num_attrs
-    packed = jnp.concatenate(
-        [accum_ref[...], zbuf_ref[...]]
-        + ([jnp.zeros((P_, OUT_C - A_ - 1), jnp.float32)]
-           if OUT_C > A_ + 1 else []),
-        axis=1)                                     # (P, OUT_C)
-    out_ref[...] = packed.T                         # (OUT_C, P)
+        # Scratch persists across tiles and grid steps: reset per tile.
+        zbuf_ref[...] = jnp.full((1, P), _INF, jnp.float32)
+        accum_ref[...] = jnp.zeros((A, P), jnp.float32)
+
+        # Compacted 2-D binning: row t of the SMEM work-list window holds
+        # exactly the chunks whose screen bbox overlaps this tile (built by
+        # build_tile_chunk_lists) — no per-chunk branch, no wasted
+        # iterations over the ~95-99% of chunks that miss the tile.
+        lax.fori_loop(0, counts_ref[t, 0],
+                      lambda j, _, px=px, py=py, t=t:
+                          (compute(lists_ref[t, j], px, py), 0)[1], 0,
+                      unroll=False)
+
+        # ONE channels-second-minor output block (OUT_C, P) per tile: the
+        # transposed accumulators concatenate along SUBLANES directly —
+        # lane-exact HBM writes, no in-register transpose (see compute()).
+        # Round 3 wrote two channel-minor blocks (P, A) + (P, 1); T(8,128)
+        # tiling padded their minor dims 12->128 and 1->128 in HBM —
+        # ~4.8 GB of mostly-padding DMA per bs=72 step INSIDE the kernel,
+        # plus a 3.9 ms reassemble copy and a 4.2 ms mask compare
+        # downstream, each re-reading 10.7x-128x padded buffers. (The
+        # round-3 alternative of writing (B, H, W, A) raster layout
+        # directly measured 75 ms/step SLOWER — consumers then read the
+        # padded channel-minor buffer; this transposed-block layout is the
+        # compact escape: 300 MB/step, one cheap reassemble transpose.)
+        packed = jnp.concatenate(
+            [accum_ref[...], zbuf_ref[...]]
+            + ([jnp.zeros((OUT_C - A - 1, P), jnp.float32)]
+               if OUT_C > A + 1 else []),
+            axis=0)                                     # (OUT_C, P)
+        out_ref[t * OUT_C:(t + 1) * OUT_C, :] = packed
 
 
 def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
@@ -353,8 +372,10 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
 
     counts, lists = build_tile_chunk_lists(chunk_ranges, image_hw,
                                            tile_h, tile_w)
-    # Pad the tile axis so the streamed (TILE_GROUP, .) SMEM windows tile it
-    # exactly; the grid never visits the padded rows.
+    # Pad the tile axis so the (TILE_GROUP, .) work-list windows — which are
+    # also the per-grid-step tile groups — tile it exactly. Padded tiles
+    # have count 0 (the loop never runs) and their output rows are sliced
+    # away below.
     T8 = -(-n_tiles // TILE_GROUP) * TILE_GROUP
     if T8 != n_tiles:
         counts = jnp.pad(counts, ((0, 0), (0, T8 - n_tiles), (0, 0)))
@@ -366,34 +387,39 @@ def _rasterize_batched_impl(geom_t, attrs, chunk_ranges, image_hw, num_attrs,
                      tiles_x=tiles_x)
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        # Fat grid steps: TILE_GROUP tiles per step (see kernel comment —
+        # per-step fixed cost was 70% of the kernel at the measured ~130
+        # surviving pairs/img). Tile groups iterate fastest so the next
+        # image's face tables still stream in behind the current image's
+        # tail groups.
+        grid=(B, T8 // TILE_GROUP),
         in_specs=[
-            pl.BlockSpec((None, TILE_GROUP, 1),
-                         lambda b, i: (b, i // TILE_GROUP, 0),
+            pl.BlockSpec((None, TILE_GROUP, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, TILE_GROUP, NC),
-                         lambda b, i: (b, i // TILE_GROUP, 0),
+            pl.BlockSpec((None, TILE_GROUP, NC), lambda b, i: (b, i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 16, Fp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, Fp, 3 * A), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, OUT_C, P), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((None, TILE_GROUP * OUT_C, P),
+                               lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, A), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((A, P), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * OUT_C, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, T8 * OUT_C, P), jnp.float32),
         # Double-buffering the streamed face tables puts peak scoped VMEM
         # ~0.5 MB over the 16 MB compiler default; v5e has 128 MB physical.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(counts, lists, geom_t, attrs)
 
-    # (B, T*OUT_C, P) -> (B, H, W, OUT_C); the transpose now moves a compact
+    # (B, T8*OUT_C, P) -> (B, H, W, OUT_C); the transpose now moves a compact
     # lane-exact buffer (~300 MB at bs=72/256^2/A=12 vs 4.8 GB padded before).
+    out = out[:, :n_tiles * OUT_C]
     out = out.reshape(B, tiles_y, tiles_x, OUT_C, tile_h, tile_w)
     out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, OUT_C)
     return out[..., :A], out[..., A]
