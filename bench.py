@@ -193,18 +193,38 @@ def main():
     hrnet_vars = jax.device_put(cast_floating(hrnet_vars))
     variables = jax.device_put(variables)
     float(np.asarray(bench_loop(key, rgb512, hrnet_vars, variables)))  # warm up
-    t0 = time.perf_counter()
-    float(np.asarray(bench_loop(jax.random.fold_in(key, 123), rgb512,
-                                hrnet_vars, variables)))
-    dt = time.perf_counter() - t0
 
-    images_per_sec = B * n_iters / dt
+    # Median of n_repeats timed runs, each itself a 10-iteration on-device
+    # loop. One number per round proved noisy (round 4: 737 vs round 3: 760,
+    # ambiguous between a regression and run-to-run spread — VERDICT weak #5);
+    # the median + recorded min/max makes a real 5% regression distinguishable
+    # from wobble. `value` stays the single driver-compatible number.
+    n_repeats = 5
+    rates = []
+    for r in range(n_repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(bench_loop(jax.random.fold_in(key, 123 + r), rgb512,
+                                    hrnet_vars, variables)))
+        dt = time.perf_counter() - t0
+        rates.append(B * n_iters / dt)
+    rates.sort()
+    images_per_sec = float(np.median(rates))
+    spread_pct = 100.0 * (rates[-1] - rates[0]) / images_per_sec
+    if spread_pct > 5.0:
+        print(f"[bench] WARNING: run-to-run spread {spread_pct:.1f}% > 5% "
+              f"(min {rates[0]:.1f}, max {rates[-1]:.1f} img/s) — rerun "
+              "before trusting round-over-round deltas", file=sys.stderr,
+              flush=True)
     baseline = 50.0  # driver-set north-star (BASELINE.json), images/s @ 100 samples
     print(json.dumps({
         "metric": "e2e_predict_images_per_sec_hrnet_w48_plus_100smpl_samples",
         "value": round(images_per_sec, 2),
         "unit": "images/s",
         "vs_baseline": round(images_per_sec / baseline, 3),
+        "median_of": n_repeats,
+        "min": round(rates[0], 2),
+        "max": round(rates[-1], 2),
+        "spread_pct": round(spread_pct, 2),
     }))
 
     # A successful DEFAULT-config run is itself a refresh of .cache/jax_bench

@@ -1,0 +1,361 @@
+"""Validate the keypoint-bootstrap person detector with NON-RANDOM weights.
+
+Round-4 gap: the torch-free uncropped-predict detector
+(predict/keypoint_detector.py) shipped with its geometry pinned by a stub
+but zero accuracy evidence — no trained HRNet exists in this environment.
+This harness closes the in-env-closable part (round-4 VERDICT missing #3 /
+next #4) using the framework's own synthetic pipeline end to end:
+
+  1. GENERATE uncropped scenes: textured synthetic-SMPL bodies rendered at
+     512^2 over cluttered backgrounds, subjects at varied scale (camera z)
+     and position (camera xy) — each with GT silhouette-mask box and GT
+     projected COCO-17 2D joints (the same projection convention as the
+     train driver, train_pose_mf_shape_gaussian_net.make_synth_data_fn);
+  2. SMOKE-TRAIN a reduced HRNet (width=16, stage_modules=(1,2,1) — the
+     detector only needs coarse heatmap peaks) on random-looseness crops of
+     those scenes: crops from near-tight to 3.2x-loose cover exactly the
+     views the 2-pass bootstrap sees (whole frame, then refined box);
+  3. MEASURE the bootstrap detector's box IoU against held-out GT boxes,
+     bucketed by subject scale.
+
+The reference bar is Mask-RCNN's person box selected centre-most
+(/root/reference/predict/predict_hrnet.py:52-66); the round-4 verdict's
+target is median IoU >= 0.7 in the single-person regime.
+
+Usage: python benchmarks/detector_validation.py [steps] [n_eval]
+Writes benchmarks/DETECTOR_VALIDATION_OUTPUT.txt.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+FRAME = 512
+TRAIN_SCENES = 256
+BATCH = 16
+
+
+def build_scene_generator():
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose_shape_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL
+    from hierarchicalprobabilistic3dhuman_tpu.renderers import (
+        TexturedIUVRenderer)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.cam_utils import (
+        perspective_project)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+        batch_add_rgb_background, bbox_from_mask)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.label_conversions import (
+        ALL_JOINTS_TO_COCO_MAP)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
+        batch_rodrigues, aa_rotate_translate_points)
+
+    cfg = get_pose_shape_cfg_defaults()
+    focal = cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH
+    smpl = SMPL.synthetic()
+    renderer = TexturedIUVRenderer(
+        img_wh=FRAME, projection_type="perspective",
+        perspective_focal_length=focal, render_rgb=True)
+    coco_map = jnp.asarray(ALL_JOINTS_TO_COCO_MAP)
+    x_axis = jnp.asarray([1.0, 0.0, 0.0])
+    zero_t = jnp.zeros(3)
+
+    @jax.jit
+    def gen(key):
+        """-> scenes uint8 (B, 3, F, F), joints2d (B, 17, 2) xy px,
+        boxes (B, 4) xyxy, all in frame coordinates."""
+        B = BATCH
+        keys = jax.random.split(key, 8)
+        pose_aa = jax.random.normal(keys[0], (B, 24, 3)) * 0.35
+        betas = jax.random.normal(keys[1], (B, 10))
+        # Camera: z controls subject scale (~300*1.8/z px body height:
+        # z in [1.3, 3.8] -> ~0.28..0.83 of the 512 frame), xy moves the
+        # subject around the frame (scaled by z so the px offset stays
+        # bounded; some edge clipping is intentional — real uncropped
+        # photos have it).
+        z = jax.random.uniform(keys[2], (B,), minval=1.3, maxval=3.8)
+        xo = jax.random.uniform(keys[3], (B,), minval=-0.22, maxval=0.22) * z
+        yo = (jax.random.uniform(keys[4], (B,), minval=-0.18, maxval=0.18)
+              * z - 0.2)
+        cam_t = jnp.stack([xo, yo, z], axis=1)
+
+        rotmats = batch_rodrigues(pose_aa.reshape(B * 24, 3)) \
+            .reshape(B, 24, 3, 3)
+        Rx = batch_rodrigues((x_axis * np.pi)[None])[0]
+        out = smpl(body_pose=rotmats[:, 1:],
+                   global_orient=(rotmats[:, 0] @ Rx)[:, None],
+                   betas=betas, pose2rot=False)
+
+        verts_render = aa_rotate_translate_points(out["vertices"], x_axis,
+                                                  np.pi, zero_t)
+        joints_coco = aa_rotate_translate_points(out["joints"][:, coco_map],
+                                                 x_axis, np.pi, zero_t)
+        joints2d = perspective_project(joints_coco, None, cam_t,
+                                       focal_length=focal, img_wh=FRAME)
+
+        # Random noise texture + blocky background clutter.
+        texture = jax.random.uniform(keys[5], (B, 128, 128, 3))
+        bg_small = jax.random.uniform(keys[6], (B, 3, 16, 16))
+        bg = jnp.broadcast_to(
+            bg_small[:, :, :, None, :, None],
+            (B, 3, 16, FRAME // 16, 16, FRAME // 16)) \
+            .reshape(B, 3, FRAME, FRAME)
+
+        render = renderer(verts_render, textures=texture, cam_t=cam_t)
+        seg = render["iuv_images"][..., 0]                 # (B, F, F) >0 body
+        rgb = jnp.transpose(render["rgb_images"], (0, 3, 1, 2))
+        rgb = batch_add_rgb_background(bg, rgb, seg)
+
+        box_rc = bbox_from_mask(seg > 0)     # (B, 4) [rmin, cmin, rmax, cmax]
+        boxes = jnp.stack([box_rc[:, 1], box_rc[:, 0],
+                           box_rc[:, 3], box_rc[:, 2]], axis=1)
+        scenes = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+        return scenes, joints2d, boxes
+
+    return gen
+
+
+def make_reduced_hrnet():
+    from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
+        PoseHighResolutionNet)
+    return PoseHighResolutionNet(num_joints=17, width=16,
+                                 stage_modules=(1, 2, 1))
+
+
+def train_reduced_hrnet(scenes, joints2d, boxes, steps, seed=0):
+    """Smoke-train on random-looseness crops; returns trained variables."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_hrnet import (
+        IMAGENET_MEAN, IMAGENET_STD)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+        batch_crop_affine)
+
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    in_w, in_h = hrnet_cfg.MODEL.IMAGE_SIZE        # (288, 384)
+    hm_w, hm_h = hrnet_cfg.MODEL.HEATMAP_SIZE      # (72, 96)
+    stride = in_w / float(hm_w)                    # 4
+    mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
+    std = jnp.asarray(IMAGENET_STD)[:, None, None]
+
+    model = make_reduced_hrnet()
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 3, in_h, in_w)), train=True)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    N = scenes.shape[0]
+    scenes = jax.device_put(scenes)
+    joints2d = jax.device_put(joints2d)
+    boxes = jax.device_put(boxes)
+
+    def heatmap_targets(j_crop):
+        """(B, 17, 2) crop px -> (B, 17, hm_h, hm_w) gaussians (std 2 hm px),
+        zeroed for out-of-crop joints."""
+        jx = j_crop[..., 0] / stride
+        jy = j_crop[..., 1] / stride
+        xs = jnp.arange(hm_w, dtype=jnp.float32)
+        ys = jnp.arange(hm_h, dtype=jnp.float32)
+        d2 = ((xs[None, None, None, :] - jx[..., None, None]) ** 2
+              + (ys[None, None, :, None] - jy[..., None, None]) ** 2)
+        hm = jnp.exp(-d2 / (2.0 * 2.0 ** 2))
+        vis = ((jx >= 0) & (jx < hm_w) & (jy >= 0) & (jy < hm_h))
+        return hm * vis[..., None, None].astype(jnp.float32)
+
+    def sample_batch(key):
+        keys = jax.random.split(key, 4)
+        idx = jax.random.randint(keys[0], (BATCH,), 0, N)
+        rgb = scenes[idx].astype(jnp.float32) / 255.0
+        bx = boxes[idx]
+        j2d = joints2d[idx]
+        ch = bx[:, 3] - bx[:, 1]
+        cw = bx[:, 2] - bx[:, 0]
+        base = jnp.maximum(ch, cw * (in_h / in_w))
+        # Looseness from near-tight to 3.2x: the bootstrap's pass 1 sees the
+        # whole frame (loose), pass 2 a margined tight box.
+        lam = jnp.exp(jax.random.uniform(keys[1], (BATCH,),
+                                         minval=np.log(1.1),
+                                         maxval=np.log(3.2)))
+        jit_c = jax.random.uniform(keys[2], (BATCH, 2), minval=-0.15,
+                                   maxval=0.15) * base[:, None]
+        centres = jnp.stack([(bx[:, 1] + bx[:, 3]) * 0.5,
+                             (bx[:, 0] + bx[:, 2]) * 0.5], axis=1) + jit_c
+        heights = base * lam
+        widths = heights * (in_w / in_h)
+        crop = batch_crop_affine((in_w, in_h), rgb=rgb, joints2D=j2d,
+                                 bbox_centres=centres, bbox_heights=heights,
+                                 bbox_widths=widths, orig_scale_factor=1.0)
+        x = (crop["rgb"] - mean) / std
+        return x, heatmap_targets(crop["joints2D"])
+
+    def loss_fn(params, batch_stats, key):
+        x, targets = sample_batch(key)
+        pred, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        return jnp.mean((pred - targets) ** 2), updates["batch_stats"]
+
+    @jax.jit
+    def run(params, batch_stats, opt_state, key, n_steps):
+        def body(i, carry):
+            params, batch_stats, opt_state, loss0 = carry
+            k = jax.random.fold_in(key, i)
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, k)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+        return jax.lax.fori_loop(0, n_steps, body,
+                                 (params, batch_stats, opt_state,
+                                  jnp.float32(0)))
+
+    t0 = time.perf_counter()
+    params, batch_stats, opt_state, last_loss = run(
+        params, batch_stats, opt_state, jax.random.PRNGKey(seed + 1),
+        steps)
+    last_loss = float(last_loss)
+    dt = time.perf_counter() - t0
+    print(f"[train] {steps} steps in {dt:.1f}s "
+          f"({steps / dt:.1f} steps/s), final heatmap MSE {last_loss:.5f}",
+          flush=True)
+    return {"params": params, "batch_stats": batch_stats}, last_loss
+
+
+def iou_xyxy(a, b):
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    iw, ih = max(0.0, ix1 - ix0), max(0.0, iy1 - iy0)
+    inter = iw * ih
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def evaluate_detector(trained_vars, gen, n_eval, seed=1000):
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        make_keypoint_bootstrap_detector)
+
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = make_reduced_hrnet()
+
+    def hrnet_apply(variables, images):
+        return model.apply(variables, images, train=False)
+
+    detect = make_keypoint_bootstrap_detector(
+        hrnet_apply, hrnet_cfg, hrnet_vars=trained_vars,
+        conf_threshold=0.3, min_visible=6, n_iters=2)
+
+    rows = []
+    n_batches = -(-n_eval // BATCH)
+    for b in range(n_batches):
+        scenes, _, boxes = gen(jax.random.PRNGKey(seed + b))
+        scenes = np.asarray(scenes)
+        boxes = np.asarray(boxes)
+        for i in range(scenes.shape[0]):
+            if len(rows) >= n_eval:
+                break
+            gt = boxes[i]
+            if gt[3] - gt[1] < 40:            # subject fully clipped away
+                continue
+            out = detect(jnp.asarray(scenes[i].astype(np.float32) / 255.0))
+            scale = (gt[3] - gt[1]) / FRAME
+            if out["boxes"].shape[0] == 0:
+                rows.append((scale, 0.0, False))
+                continue
+            rows.append((scale, iou_xyxy(out["boxes"][0], gt), True))
+    return rows
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+
+    import jax
+    from benchmarks import _scratch_cache
+    _scratch_cache.enable()
+
+    print(f"backend: {jax.default_backend()} ({jax.devices()[0]})",
+          flush=True)
+    gen = build_scene_generator()
+
+    print(f"[scenes] generating {TRAIN_SCENES} training scenes at "
+          f"{FRAME}^2...", flush=True)
+    t0 = time.perf_counter()
+    sc, j2, bx = [], [], []
+    for b in range(TRAIN_SCENES // BATCH):
+        s, j, x = gen(jax.random.PRNGKey(b))
+        sc.append(np.asarray(s))
+        j2.append(np.asarray(j))
+        bx.append(np.asarray(x))
+    scenes = np.concatenate(sc)
+    joints2d = np.concatenate(j2)
+    boxes = np.concatenate(bx)
+    print(f"[scenes] {scenes.shape[0]} scenes in "
+          f"{time.perf_counter() - t0:.1f}s; subject height "
+          f"{np.median((boxes[:, 3] - boxes[:, 1]) / FRAME):.2f} median "
+          "frame-fraction", flush=True)
+
+    trained, final_loss = train_reduced_hrnet(scenes, joints2d, boxes, steps)
+
+    rows = evaluate_detector(trained, gen, n_eval)
+    scales = np.array([r[0] for r in rows])
+    ious = np.array([r[1] for r in rows])
+    det = np.array([r[2] for r in rows])
+
+    buckets = [("small  (<0.45 frame)", scales < 0.45),
+               ("medium (0.45-0.65)", (scales >= 0.45) & (scales < 0.65)),
+               ("large  (>=0.65)", scales >= 0.65)]
+    lines = [
+        f"# python benchmarks/detector_validation.py {steps} {n_eval} — "
+        f"recorded {time.strftime('%Y-%m-%d')}",
+        f"backend: {jax.default_backend()} ({jax.devices()[0]})",
+        f"reduced HRNet width=16 modules=(1,2,1), {steps} smoke-train "
+        f"steps, final heatmap MSE {final_loss:.5f}",
+        f"eval: {len(rows)} held-out synthetic 512^2 scenes, GT = rendered "
+        "silhouette-mask box",
+        "",
+        f"{'bucket':<22} {'n':>4} {'median IoU':>11} {'mean IoU':>9} "
+        f"{'IoU>=0.7':>9} {'det rate':>9}",
+    ]
+    for name, m in [("ALL", np.ones_like(det, bool))] + buckets:
+        if not m.any():
+            continue
+        lines.append(
+            f"{name:<22} {int(m.sum()):>4} {np.median(ious[m]):>11.3f} "
+            f"{ious[m].mean():>9.3f} {(ious[m] >= 0.7).mean():>9.2f} "
+            f"{det[m].mean():>9.2f}")
+    med = float(np.median(ious))
+    verdict = "PASS" if med >= 0.7 else "BELOW-TARGET"
+    lines.append("")
+    lines.append(f"[{verdict}] overall median IoU {med:.3f} "
+                 "(round-4 target: >= 0.7 single-person regime)")
+    report = "\n".join(lines)
+    print(report, flush=True)
+    out_path = os.path.join(_REPO, "benchmarks",
+                            "DETECTOR_VALIDATION_OUTPUT.txt")
+    with open(out_path, "w") as f:
+        f.write(report + "\n")
+    print(f"[written] {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,20 @@ def pack_folder(image_dir, out_dir, shard_size=64):
         entries = {}
         for fname in chunk:
             bgr = cv2.imread(os.path.join(image_dir, fname))
-            entries[fname] = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            if bgr is None:
+                raise ValueError(
+                    f"{os.path.join(image_dir, fname)}: cv2.imread failed "
+                    "(corrupt or unsupported image) — fix or remove the file")
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            # _prefetch_images loads pack entries verbatim and the device
+            # pipeline assumes uint8 3-channel HWC; enforce the contract at
+            # pack time where the bad file can still be named.
+            if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+                raise ValueError(
+                    f"{fname}: decoded to {rgb.dtype} shape {rgb.shape}, "
+                    "expected uint8 HxWx3 — the predict pipeline's "
+                    "pre-decoded input contract")
+            entries[fname] = rgb
         out = os.path.join(out_dir, f"shard_{s:05d}.npz")
         # savez (uncompressed): loads are raw copies, no inflate cost.
         np.savez(out, **entries)

@@ -315,14 +315,24 @@ class PoseHighResolutionNet(nn.Module):
     48-channel branch-0 block chains in a width-folded layout for ~3x the
     MXU lane efficiency (see FoldedBasicBlock). Parameter tree and numerics
     (up to float reassociation) are identical either way —
-    tests/test_hrnet.py::test_folded_branch0_matches_unfolded."""
+    tests/test_hrnet.py::test_folded_branch0_matches_unfolded.
+
+    width/stage_modules parameterise reduced variants (branch channels are
+    width x (1, 2, 4, 8); stem/layer1 stay at the W48 sizes) for in-env
+    smoke training — e.g. the keypoint-bootstrap detector validation
+    (benchmarks/detector_validation.py), which needs a trainable-here
+    heatmap net, not the full 63M-param W48. Defaults reproduce HRNet-W48
+    exactly (same parameter tree, same numerics)."""
     num_joints: int = 17
     fold_branch0_width: bool = True
+    width: int = 48
+    stage_modules: Sequence[int] = (1, 4, 3)
 
     @nn.compact
     def __call__(self, x, train=False, input_layout="NCHW"):
         if input_layout == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
+        w = self.width
 
         # Stem
         x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -336,8 +346,8 @@ class PoseHighResolutionNet(nn.Module):
         for k in range(4):
             x = Bottleneck(64, downsample=(k == 0), name=f"layer1_{k}")(x, train)
 
-        # transition1: 256 -> [48, 96] (both have convs; branch 1 is strided)
-        x0 = nn.Conv(48, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+        # transition1: 256 -> [w, 2w] (both have convs; branch 1 is strided)
+        x0 = nn.Conv(w, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                      name="transition1_0_conv")(x)
         x0 = nn.relu(_bn("transition1_0_bn", train)(x0))
         fold = self.fold_branch0_width and not train
@@ -345,36 +355,36 @@ class PoseHighResolutionNet(nn.Module):
             # branch 0 stays width-folded from here to final_layer (one
             # relayout in, one out; see the fold_width notes above)
             x0 = fold_width(x0)
-        x1 = nn.Conv(96, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        x1 = nn.Conv(2 * w, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                      use_bias=False, name="transition1_1_conv")(x)
         x1 = nn.relu(_bn("transition1_1_bn", train)(x1))
         xs = [x0, x1]
 
-        for m in range(STAGE2["num_modules"]):
-            xs = HighResolutionModule(2, 4, STAGE2["channels"],
+        for m in range(self.stage_modules[0]):
+            xs = HighResolutionModule(2, 4, (w, 2 * w),
                                       fold_branch0=fold,
                                       name=f"stage2_{m}")(xs, train)
 
-        # transition2: add 192 branch from the last existing branch
-        x2 = nn.Conv(192, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        # transition2: add 4w branch from the last existing branch
+        x2 = nn.Conv(4 * w, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                      use_bias=False, name="transition2_2_conv")(xs[-1])
         x2 = nn.relu(_bn("transition2_2_bn", train)(x2))
         xs = [xs[0], xs[1], x2]
 
-        for m in range(STAGE3["num_modules"]):
-            xs = HighResolutionModule(3, 4, STAGE3["channels"],
+        for m in range(self.stage_modules[1]):
+            xs = HighResolutionModule(3, 4, (w, 2 * w, 4 * w),
                                       fold_branch0=fold,
                                       name=f"stage3_{m}")(xs, train)
 
-        # transition3: add 384 branch
-        x3 = nn.Conv(384, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        # transition3: add 8w branch
+        x3 = nn.Conv(8 * w, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                      use_bias=False, name="transition3_3_conv")(xs[-1])
         x3 = nn.relu(_bn("transition3_3_bn", train)(x3))
         xs = [xs[0], xs[1], xs[2], x3]
 
-        for m in range(STAGE4["num_modules"]):
-            last = m == STAGE4["num_modules"] - 1
-            xs = HighResolutionModule(4, 4, STAGE4["channels"],
+        for m in range(self.stage_modules[2]):
+            last = m == self.stage_modules[2] - 1
+            xs = HighResolutionModule(4, 4, (w, 2 * w, 4 * w, 8 * w),
                                       multi_scale_output=not last,
                                       fold_branch0=fold,
                                       name=f"stage4_{m}")(xs, train)

@@ -39,6 +39,13 @@ from jax import lax
 _INF = 1e30
 
 
+def _snap_chunk(Fp, chunk):
+    """Largest divisor of Fp <= chunk. Plain halving would send a
+    non-power-of-two request (e.g. 192 with Fp % 192 != 0) all the way to
+    chunk=1 — correct output but a pathologically long scan."""
+    return max(d for d in range(1, min(chunk, Fp) + 1) if Fp % d == 0)
+
+
 def rasterize_packed_one(geom_t, face_attrs, image_hw, znear=1e-3, chunk=256):
     """Rasterize one mesh from packed face tables.
 
@@ -57,8 +64,7 @@ def rasterize_packed_one(geom_t, face_attrs, image_hw, znear=1e-3, chunk=256):
     P = H * W
     dtype = geom_t.dtype
     Fp = geom_t.shape[1]
-    while Fp % chunk:
-        chunk //= 2
+    chunk = _snap_chunk(Fp, chunk)
     n_chunks = Fp // chunk
     g = geom_t.reshape(16, n_chunks, chunk).transpose(1, 0, 2)  # (n, 16, C)
     fa = face_attrs.reshape(n_chunks, chunk, 3 * A)

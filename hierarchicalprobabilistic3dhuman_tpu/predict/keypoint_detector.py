@@ -95,7 +95,7 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
         height, width = float(H), float(W)
         image = jnp.asarray(image)
 
-        kp = confs = None
+        accepted = None  # last (x0, y0, x1, y1, confs) that passed min_visible
         for _ in range(max(1, int(n_iters))):
             kp, confs = _stage(hrnet_vars, image,
                                jnp.asarray(centre, jnp.float32),
@@ -105,9 +105,10 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
             confs = np.asarray(confs)
             vis = confs > conf_threshold
             if vis.sum() < min_visible:
-                return {"boxes": np.zeros((0, 4), np.float32),
-                        "labels": np.zeros((0,), np.int64),
-                        "scores": np.zeros((0,), np.float32)}
+                # A later refinement pass losing the subject (e.g. the
+                # tightened crop clipping limbs) must not discard a valid
+                # earlier detection — fall back to the last accepted box.
+                break
             x0, x1 = kp[vis, 0].min(), kp[vis, 0].max()
             y0, y1 = kp[vis, 1].min(), kp[vis, 1].max()
             h, w = y1 - y0, x1 - x0
@@ -116,8 +117,27 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
             y0, y1 = y0 - top * h, y1 + bottom * h
             x0, y0 = max(0.0, float(x0)), max(0.0, float(y0))
             x1, y1 = min(float(W), float(x1)), min(float(H), float(y1))
+            # Near-collinear/coincident keypoints can collapse the box to
+            # ~zero extent, which would feed a degenerate affine into the
+            # re-crop (NaN scale). Clamp to a sane minimum, centred.
+            min_ext = 8.0
+            if x1 - x0 < min_ext:
+                cx_ = (x0 + x1) / 2.0
+                x0 = max(0.0, cx_ - min_ext / 2.0)
+                x1 = min(float(W), x0 + min_ext)
+            if y1 - y0 < min_ext:
+                cy_ = (y0 + y1) / 2.0
+                y0 = max(0.0, cy_ - min_ext / 2.0)
+                y1 = min(float(H), y0 + min_ext)
+            accepted = (x0, y0, x1, y1, confs)
             centre = np.array([(y0 + y1) / 2.0, (x0 + x1) / 2.0], np.float32)
             height, width = y1 - y0, x1 - x0
+
+        if accepted is None:
+            return {"boxes": np.zeros((0, 4), np.float32),
+                    "labels": np.zeros((0,), np.int64),
+                    "scores": np.zeros((0,), np.float32)}
+        x0, y0, x1, y1, confs = accepted
 
         # Acceptance happens HERE (>= min_visible confident keypoints), not
         # via the downstream score threshold: keypoint-peak confidences are

@@ -486,18 +486,25 @@ def _prefetch_images(image_dir, fnames, queue_size=8):
     _END = object()
 
     def worker():
-        for fname in fnames:
-            path = os.path.join(image_dir, fname)
-            if fname.endswith(".npy"):
-                q.put((fname[:-len(".npy")] + ".png",
-                       np.ascontiguousarray(np.load(path))))
-            elif fname.endswith(".npz"):
-                with np.load(path) as pack:
-                    for key in pack.files:
-                        q.put((key, pack[key]))
-            else:
-                bgr = cv2.imread(path)
-                q.put((fname, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)))
+        try:
+            for fname in fnames:
+                path = os.path.join(image_dir, fname)
+                if fname.endswith(".npy"):
+                    q.put((fname[:-len(".npy")] + ".png",
+                           np.ascontiguousarray(np.load(path))))
+                elif fname.endswith(".npz"):
+                    with np.load(path) as pack:
+                        for key in pack.files:
+                            q.put((key, pack[key]))
+                else:
+                    bgr = cv2.imread(path)
+                    if bgr is None:
+                        raise ValueError(f"{path}: cv2.imread failed "
+                                         "(corrupt or unsupported image)")
+                    q.put((fname, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)))
+        except BaseException as e:  # propagate to the consumer, don't hang it
+            q.put(e)
+            return
         q.put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -506,6 +513,8 @@ def _prefetch_images(image_dir, fnames, queue_size=8):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -579,6 +588,19 @@ def predict_folder_batched(pose_shape_model_apply,
 
     fnames = sorted(f for f in os.listdir(image_dir)
                     if f.endswith((".jpg", ".jpeg", ".png", ".npy", ".npz")))
+    # npy entries are renamed <stem>.png downstream (_prefetch_images), so a
+    # folder holding both foo.npy and foo.png would emit two stream entries
+    # with the SAME output fname — the later silently overwrites the earlier
+    # in the results dict and on-disk artifacts. Refuse loudly instead.
+    npy_as_png = {f[:-len(".npy")] + ".png" for f in fnames
+                  if f.endswith(".npy")}
+    collisions = npy_as_png.intersection(fnames)
+    if collisions:
+        raise ValueError(
+            f"{image_dir}: pre-decoded .npy inputs collide with images of "
+            f"the same stem ({sorted(collisions)[:5]}...): outputs would "
+            "silently overwrite each other. Remove one of each pair (the "
+            ".npy is a pre-decoded copy of the image, keep either).")
 
     key = jax.random.PRNGKey(rng_seed)
     results = {}

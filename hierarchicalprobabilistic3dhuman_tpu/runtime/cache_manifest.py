@@ -63,18 +63,25 @@ def _file_digest(path):
     return hashlib.sha256(normalised.encode()).hexdigest()
 
 
-def source_fingerprint():
-    """Deterministic digest over all HLO-relevant sources (AST-normalised)."""
+def source_fingerprint(repo=None):
+    """Deterministic digest over all HLO-relevant sources (AST-normalised).
+
+    `repo` defaults to this checkout; tools/precommit.py passes a temp
+    checkout of the git INDEX so the staged tree is fingerprinted instead
+    of the working tree.
+    """
+    repo = repo or _REPO
+    pkg = os.path.join(repo, os.path.basename(_PKG))
     digests = []
-    for root, dirs, files in os.walk(_PKG):
+    for root, dirs, files in os.walk(pkg):
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")
         for name in sorted(files):
             if name.endswith(".py"):
                 path = os.path.join(root, name)
-                digests.append((os.path.relpath(path, _REPO),
+                digests.append((os.path.relpath(path, repo),
                                 _file_digest(path)))
     for name in _EXTRA_SOURCES:
-        path = os.path.join(_REPO, name)
+        path = os.path.join(repo, name)
         if os.path.exists(path):
             digests.append((name, _file_digest(path)))
     h = hashlib.sha256()
@@ -133,16 +140,20 @@ def write_manifest():
     return fp
 
 
-def check_manifest(manifest_path=None):
-    """-> (fresh: bool, message: str). Missing manifest/stamp counts as stale."""
-    path = manifest_path or _MANIFEST
+def check_manifest(manifest_path=None, repo=None):
+    """-> (fresh: bool, message: str). Missing manifest/stamp counts as stale.
+
+    `repo` redirects BOTH the source fingerprint and the default manifest
+    path to another tree (tools/precommit.py checks the staged index)."""
+    path = manifest_path or (os.path.join(repo, ".cache", "manifest.json")
+                             if repo else _MANIFEST)
     if not os.path.exists(path):
         return False, ("no .cache/manifest.json — run "
                        "benchmarks/refresh_compile_caches.py after building "
                        "the compile caches")
     with open(path) as f:
         caches = _as_cache_stamps(json.load(f))
-    current = source_fingerprint()
+    current = source_fingerprint(repo)
     stale = []
     for name in REQUIRED_CACHES:
         recorded = caches.get(name)

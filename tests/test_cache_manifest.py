@@ -87,3 +87,109 @@ def test_prune_superseded_deletes_only_replaced_program_groups(tmp_path):
     assert deleted == ["jit_foo-" + "a" * 64 + "-cache"]
     remaining = sorted(os.listdir(cache))
     assert remaining == sorted([new] + old[1:])
+
+
+def test_precommit_gate_refuses_stale_staged_tree(tmp_path):
+    """The round-3/4 failure mode end-to-end: a kernel edit staged without a
+    restamp must be REFUSED by tools/precommit.py, a restamped index must
+    pass, and PRECOMMIT_ALLOW_STALE=1 must override — all evaluated against
+    the INDEX (a scratch clone), never this repo's working tree."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    clone = tmp_path / "clone"
+    clone.mkdir()
+    # Minimal repo shape the fingerprint walks: package .py files + entry
+    # scripts + .cache/manifest.json. Copy the real tool under test.
+    pkg = clone / "hierarchicalprobabilistic3dhuman_tpu"
+    (pkg / "runtime").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "runtime" / "__init__.py").write_text("")
+    shutil.copy(
+        os.path.join(repo, "hierarchicalprobabilistic3dhuman_tpu",
+                     "runtime", "cache_manifest.py"),
+        pkg / "runtime" / "cache_manifest.py")
+    (pkg / "kernel.py").write_text("X = 1\n")
+    (clone / "bench.py").write_text("B = 1\n")
+    (clone / "__graft_entry__.py").write_text("E = 1\n")
+    tools = clone / "tools"
+    tools.mkdir()
+    shutil.copy(os.path.join(repo, "tools", "precommit.py"),
+                tools / "precommit.py")
+
+    def git(*args, **kw):
+        return subprocess.run(["git", "-C", str(clone)] + list(args),
+                              capture_output=True, text=True, **kw)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+
+    sys.path.insert(0, str(clone))
+    try:
+        for mod in [m for m in list(sys.modules)
+                    if m.startswith("hierarchicalprobabilistic3dhuman_tpu")]:
+            del sys.modules[mod]
+        from hierarchicalprobabilistic3dhuman_tpu.runtime.cache_manifest import (
+            stamp_cache)
+        for name in ("jax_bench", "jax_dryrun"):
+            stamp_cache(name,
+                        manifest_path=str(clone / ".cache" / "manifest.json"))
+    finally:
+        sys.path.remove(str(clone))
+        for mod in [m for m in list(sys.modules)
+                    if m.startswith("hierarchicalprobabilistic3dhuman_tpu")]:
+            del sys.modules[mod]
+
+    git("add", "-A")
+
+    def precommit(env_extra=None):
+        env = dict(os.environ)
+        env.pop("PRECOMMIT_ALLOW_STALE", None)
+        env.update(env_extra or {})
+        return subprocess.run([sys.executable, str(tools / "precommit.py")],
+                              cwd=str(clone), capture_output=True, text=True,
+                              env=env)
+
+    r = precommit()
+    assert r.returncode == 0, r.stdout + r.stderr   # fresh staged tree passes
+
+    # Stage an HLO-relevant edit WITHOUT a restamp -> refused.
+    (pkg / "kernel.py").write_text("X = 2\n")
+    git("add", "-A")
+    r = precommit()
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "REFUSED" in r.stderr and "kernel.py" in r.stderr
+
+    # Working tree freshness must NOT rescue a stale index (the round-4
+    # failure: driver restamped the working tree after the stale commit).
+    sys.path.insert(0, str(clone))
+    try:
+        for mod in [m for m in list(sys.modules)
+                    if m.startswith("hierarchicalprobabilistic3dhuman_tpu")]:
+            del sys.modules[mod]
+        from hierarchicalprobabilistic3dhuman_tpu.runtime.cache_manifest import (
+            stamp_cache)
+        for name in ("jax_bench", "jax_dryrun"):
+            stamp_cache(name,
+                        manifest_path=str(clone / ".cache" / "manifest.json"))
+    finally:
+        sys.path.remove(str(clone))
+        for mod in [m for m in list(sys.modules)
+                    if m.startswith("hierarchicalprobabilistic3dhuman_tpu")]:
+            del sys.modules[mod]
+    r = precommit()
+    assert r.returncode == 1, ("working-tree restamp must not rescue a "
+                               "stale INDEX\n" + r.stdout + r.stderr)
+
+    # Escape hatch.
+    r = precommit({"PRECOMMIT_ALLOW_STALE": "1"})
+    assert r.returncode == 0 and "OVERRIDDEN" in r.stderr
+
+    # Staging the restamp fixes it for real.
+    git("add", "-A")
+    r = precommit()
+    assert r.returncode == 0, r.stdout + r.stderr

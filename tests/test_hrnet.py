@@ -161,3 +161,32 @@ def test_folded_branch0_matches_unfolded():
     v2 = net_fold.init(jax.random.PRNGKey(0), x)
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(v2))
+
+
+@pytest.mark.slow
+def test_reduced_variant_trains_and_keeps_w48_default():
+    """width/stage_modules parameterise reduced smoke-trainable variants
+    (benchmarks/detector_validation.py); the DEFAULTS must stay exactly
+    HRNet-W48 (the converter's parameter tree is pinned by
+    test_conversion_tree_matches_model). Slow tier: ~40 s of init+grad
+    compiles; the variant is also exercised end-to-end on TPU by the
+    detector-validation harness."""
+    import jax
+    m = PoseHighResolutionNet(num_joints=17, width=16, stage_modules=(1, 2, 1))
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 32)), train=True)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(v["params"]))
+    assert n < 5e6, n  # genuinely reduced (W48 is 63M)
+    out, updates = m.apply(v, jnp.zeros((2, 3, 64, 32)), train=True,
+                           mutable=["batch_stats"])
+    assert out.shape == (2, 17, 16, 8)
+    assert "batch_stats" in updates
+    # gradient flows (smoke-trainability)
+    g = jax.grad(lambda p: m.apply(
+        {"params": p, "batch_stats": v["batch_stats"]},
+        jnp.ones((1, 3, 64, 32)), train=True,
+        mutable=["batch_stats"])[0].sum())(v["params"])
+    gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert gnorm > 0
+    # default field values reproduce W48
+    d = PoseHighResolutionNet()
+    assert d.width == 48 and tuple(d.stage_modules) == (1, 4, 3)

@@ -104,3 +104,53 @@ def test_detection_feeds_box_selection():
     out = detect(jnp.asarray(img))
     centre, h, w = select_centremost_person_box(out, (H, W), threshold=0.95)
     assert h < H and w < W  # a real (non-fallback) box survived
+
+
+def test_refinement_failure_falls_back_to_accepted_box():
+    """A refinement pass that drops below min_visible must return the LAST
+    accepted box, not discard a valid first-pass detection (advisor
+    round-4): stub is confident on the whole frame but goes dead on the
+    refined (smaller) crop."""
+    H, W = 512, 384
+    sy, sx = 240.0, 120.0
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.broadcast_to(
+        np.exp(-(((yy - sy) / 80.0) ** 2 + ((xx - sx) / 40.0) ** 2)),
+        (3, H, W)).astype(np.float32)
+
+    base = _centroid_stub()
+    calls = {"n": 0}
+
+    def flaky_stub(x):
+        calls["n"] += 1
+        if calls["n"] > 1:          # second (refined) pass: nothing visible
+            return jnp.zeros((x.shape[0], 17, HM_H, HM_W))
+        return base(x)
+
+    detect = make_keypoint_bootstrap_detector(
+        flaky_stub, HRNET_CFG, n_iters=2, conf_threshold=0.3, min_visible=6)
+    out = detect(jnp.asarray(img))
+    assert out["boxes"].shape == (1, 4), "first-pass detection was discarded"
+    bx0, by0, bx1, by1 = out["boxes"][0]
+    cx, cy = (bx0 + bx1) / 2, (by0 + by1) / 2
+    assert abs(cx - sx) < 30 and abs(cy - sy) < 40
+
+
+def test_degenerate_keypoint_cloud_gets_min_extent_box():
+    """Coincident keypoints (zero-extent raw bbox) must yield a clamped
+    minimum-size box, never a ~zero-extent one that degenerates the re-crop
+    affine (advisor round-4)."""
+
+    def point_stub(x):  # all 17 peaks at the same heatmap cell
+        B = x.shape[0]
+        hm = jnp.zeros((B, 17, HM_H, HM_W))
+        hm = hm.at[:, :, HM_H // 2, HM_W // 2].set(0.9)
+        return hm
+
+    detect = make_keypoint_bootstrap_detector(
+        point_stub, HRNET_CFG, n_iters=2, conf_threshold=0.3, min_visible=6)
+    out = detect(jnp.ones((3, 256, 256)))
+    assert out["boxes"].shape == (1, 4)
+    bx0, by0, bx1, by1 = out["boxes"][0]
+    assert (bx1 - bx0) >= 7.9 and (by1 - by0) >= 7.9, out["boxes"]
+    assert np.isfinite(out["boxes"]).all()

@@ -340,3 +340,34 @@ def test_batched_folder_predict_predecoded_inputs(tmp_path):
                     np.asarray(outs[name][fname][k]),
                     np.asarray(outs["png"][fname][k]),
                     err_msg=f"{name}/{fname}/{k}")
+
+
+def test_npy_png_stem_collision_refused(tmp_path):
+    """foo.npy + foo.png in one folder would emit two entries with the same
+    output fname (the npy is renamed to .png downstream) — the driver must
+    refuse loudly instead of silently overwriting (advisor round-4)."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.predict_pose_mf_shape_gaussian_net import (
+        predict_folder_batched)
+    d = tmp_path / "mix"
+    d.mkdir()
+    rgb = np.zeros((32, 32, 3), np.uint8)
+    cv2.imwrite(str(d / "foo.png"), rgb)
+    np.save(str(d / "foo.npy"), rgb)
+    with pytest.raises(ValueError, match="collide"):
+        predict_folder_batched(
+            pose_shape_model_apply=None, pose_shape_cfg=get_pose_shape_cfg_defaults(),
+            smpl_model=None, hrnet_apply=None,
+            hrnet_cfg=get_pose2d_hrnet_cfg_defaults(), edge_detect_model=None,
+            image_dir=str(d), save_dir=str(tmp_path / "out"))
+
+
+def test_pack_folder_names_bad_file(tmp_path):
+    """A corrupt image must fail the pack with the file named, and non-uint8
+    /non-3-channel contract violations must be caught at pack time."""
+    from hierarchicalprobabilistic3dhuman_tpu.data.pack_predict_inputs import (
+        pack_folder)
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "bad.png").write_bytes(b"not a png at all")
+    with pytest.raises(ValueError, match="bad.png"):
+        pack_folder(str(d), str(tmp_path / "out"))

@@ -188,3 +188,14 @@ def test_renderer_diffuse_lighting_shades():
     vals = rgb[mask].mean(axis=-1)
     assert vals.max() <= 1.0 + 1e-6
     assert vals.std() > 0.01  # diffuse term produces shading variation
+
+
+def test_snap_chunk_picks_largest_divisor():
+    """A non-power-of-two chunk must snap to a divisor of Fp, not degrade to
+    1 via halving (advisor round-4): 192 against Fp=1280 -> 160, not 1."""
+    from hierarchicalprobabilistic3dhuman_tpu.ops.rasterizer import _snap_chunk
+    assert _snap_chunk(1280, 192) == 160
+    assert _snap_chunk(1280, 256) == 256
+    assert _snap_chunk(1280, 100000) == 1280
+    assert _snap_chunk(128, 128) == 128
+    assert _snap_chunk(128, 7) == 4

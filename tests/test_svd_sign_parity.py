@@ -90,12 +90,18 @@ def converted_pair():
                           "S": S_r.numpy()}
 
 
-def test_converted_checkpoint_full_depth_parity_lapack(converted_pair):
-    """svd_impl='lapack': all 23 joints' F and mode match the torch reference
-    on the vast majority of (example, joint) lanes; divergent lanes trace to
-    the known ~2% gesdd sign tail and stay valid rotations."""
+@pytest.mark.slow
+def test_converted_checkpoint_full_depth_parity_lapack_callback(converted_pair):
+    """svd_impl='lapack_callback' (HOST-callback scipy gesdd — the CPU-only
+    oracle path): all 23 joints' F and mode match the torch reference on the
+    vast majority of (example, joint) lanes; divergent lanes trace to the
+    known ~2% gesdd sign tail and stay valid rotations. Slow tier: the
+    device-native twin below covers the TPU-relevant mode in the fast tier;
+    this one pins the oracle itself (and had silently drifted into running
+    the SAME impl as the twin until round 5 — 48 s of duplicated fast-tier
+    work with zero callback coverage)."""
     variables, x, ref = converted_pair
-    model = PoseMFShapeGaussianNet(svd_impl="lapack")
+    model = PoseMFShapeGaussianNet(svd_impl="lapack_callback")
     out = model.apply(variables, jnp.asarray(x), train=False)
 
     F_ours = np.asarray(out["pose_params_F"])
