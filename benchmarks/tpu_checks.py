@@ -269,16 +269,28 @@ def _render_check(hw, n_rep=3):
 
 def check_golden_tpu():
     """Task 9: the CPU golden trajectory, executed on TPU. Envelope is
-    deliberately loose (TPU default-precision matmuls + different fusion
-    order vs the CPU run recorded under jax_disable_most_optimizations);
+    deliberately loose (different fusion order + transcendental
+    implementations vs the CPU run recorded under
+    jax_disable_most_optimizations, compounded through 16 Adam steps);
     what it pins is the REGIME — a dropped loss term, a wrong flip or a
-    broken kernel moves losses by orders of magnitude, not percents."""
+    broken kernel moves losses by orders of magnitude, not percents.
+
+    Runs under f32 matmul precision to be apples-to-apples with the CPU
+    golden: at the TPU's bf16 default the very FIRST step's loss deviated
+    122% (14622 vs 6593) while its PVE agreed to 0.5% — pure init-step
+    chaos amplification in the loss surface, measured rel 0.004 at f32
+    precision with the same kernels. The bf16-default training regime is
+    covered separately (loss_canary single-step envelopes + the long-run
+    stability tests); this check is about the kernels, not the precision
+    default."""
+    import jax
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "golden_run_mod", os.path.join(_REPO, "tests", "test_golden_run.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    losses, pve, _ = mod._run_trajectory()
+    with jax.default_matmul_precision("highest"):
+        losses, pve, _ = mod._run_trajectory()
     g = np.load(os.path.join(_REPO, "tests", "golden",
                              "train_trajectory.npz"))
     finite = np.all(np.isfinite(losses)) and np.all(np.isfinite(pve))
