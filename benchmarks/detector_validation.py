@@ -123,6 +123,83 @@ def build_scene_generator():
     return gen
 
 
+def build_multi_scene_generator():
+    """2-person composites for the multi-person bootstrap detector
+    (round-4 VERDICT next #7): two independently posed/shaped/textured
+    bodies rendered into ONE frame, person A placed left of centre and B
+    right (60-190 px apart at focal 300 — from clearly separated down to
+    abutting/partially overlapping), B compositing in front of A.
+
+    -> scenes uint8 (B, 3, F, F), boxes_a (B, 4) xyxy, boxes_b (B, 4).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose_shape_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.models.smpl import SMPL
+    from hierarchicalprobabilistic3dhuman_tpu.renderers import (
+        TexturedIUVRenderer)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.image_utils import (
+        batch_add_rgb_background, bbox_from_mask)
+    from hierarchicalprobabilistic3dhuman_tpu.utils.rotation_utils import (
+        batch_rodrigues, aa_rotate_translate_points)
+
+    cfg = get_pose_shape_cfg_defaults()
+    focal = cfg.TRAIN.SYNTH_DATA.FOCAL_LENGTH
+    smpl = SMPL.synthetic()
+    renderer = TexturedIUVRenderer(
+        img_wh=FRAME, projection_type="perspective",
+        perspective_focal_length=focal, render_rgb=True)
+    x_axis = jnp.asarray([1.0, 0.0, 0.0])
+    zero_t = jnp.zeros(3)
+    Rx = batch_rodrigues((x_axis * np.pi)[None])[0]
+
+    def render_person(keys, side):
+        B = BATCH
+        pose_aa = jax.random.normal(keys[0], (B, 24, 3)) * 0.35
+        betas = jax.random.normal(keys[1], (B, 10))
+        z = jax.random.uniform(keys[2], (B,), minval=1.7, maxval=3.2)
+        xo = jax.random.uniform(keys[3], (B,), minval=0.10,
+                                maxval=0.32) * side * z
+        yo = (jax.random.uniform(keys[4], (B,), minval=-0.12, maxval=0.12)
+              * z - 0.2)
+        cam_t = jnp.stack([xo, yo, z], axis=1)
+        rotmats = batch_rodrigues(pose_aa.reshape(B * 24, 3)) \
+            .reshape(B, 24, 3, 3)
+        out = smpl(body_pose=rotmats[:, 1:],
+                   global_orient=(rotmats[:, 0] @ Rx)[:, None],
+                   betas=betas, pose2rot=False)
+        verts = aa_rotate_translate_points(out["vertices"], x_axis,
+                                           np.pi, zero_t)
+        texture = jax.random.uniform(keys[5], (B, 128, 128, 3))
+        render = renderer(verts, textures=texture, cam_t=cam_t)
+        seg = render["iuv_images"][..., 0]               # (B, F, F) >0 body
+        rgb = jnp.transpose(render["rgb_images"], (0, 3, 1, 2))
+        box_rc = bbox_from_mask(seg > 0)
+        boxes = jnp.stack([box_rc[:, 1], box_rc[:, 0],
+                           box_rc[:, 3], box_rc[:, 2]], axis=1)
+        return rgb, seg, boxes
+
+    @jax.jit
+    def gen2(key):
+        B = BATCH
+        keys = jax.random.split(key, 13)
+        rgb_a, seg_a, box_a = render_person(keys[0:6], side=-1.0)
+        rgb_b, seg_b, box_b = render_person(keys[6:12], side=+1.0)
+        bg_small = jax.random.uniform(keys[12], (B, 3, 16, 16))
+        bg = jnp.broadcast_to(
+            bg_small[:, :, :, None, :, None],
+            (B, 3, 16, FRAME // 16, 16, FRAME // 16)) \
+            .reshape(B, 3, FRAME, FRAME)
+        rgb = batch_add_rgb_background(bg, rgb_a, seg_a)
+        rgb = batch_add_rgb_background(rgb, rgb_b, seg_b)  # B in front
+        scenes = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+        return scenes, box_a, box_b
+
+    return gen2
+
+
 def make_reduced_hrnet():
     from hierarchicalprobabilistic3dhuman_tpu.models.hrnet import (
         PoseHighResolutionNet)
@@ -209,25 +286,38 @@ def train_reduced_hrnet(scenes, joints2d, boxes, steps, seed=0):
             mutable=["batch_stats"])
         return jnp.mean((pred - targets) ** 2), updates["batch_stats"]
 
+    # Chunked device program: ONE tunnel-attached TPU execution must stay
+    # short (a single 3000-step fori_loop program ran for minutes with no
+    # host contact and the axon worker killed it — "TPU worker process
+    # crashed or restarted"). 100-step segments sync with the host between
+    # executions; the jit compiles once (segment length is static).
+    SEG = 100
+
     @jax.jit
-    def run(params, batch_stats, opt_state, key, n_steps):
+    def run_segment(params, batch_stats, opt_state, key, base):
         def body(i, carry):
             params, batch_stats, opt_state, loss0 = carry
-            k = jax.random.fold_in(key, i)
+            k = jax.random.fold_in(key, base + i)
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch_stats, k)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, loss
-        return jax.lax.fori_loop(0, n_steps, body,
+        return jax.lax.fori_loop(0, SEG, body,
                                  (params, batch_stats, opt_state,
                                   jnp.float32(0)))
 
     t0 = time.perf_counter()
-    params, batch_stats, opt_state, last_loss = run(
-        params, batch_stats, opt_state, jax.random.PRNGKey(seed + 1),
-        steps)
-    last_loss = float(last_loss)
+    key = jax.random.PRNGKey(seed + 1)
+    last_loss = float("nan")
+    for base in range(0, steps, SEG):
+        params, batch_stats, opt_state, last_loss = run_segment(
+            params, batch_stats, opt_state, key, jnp.int32(base))
+        last_loss = float(last_loss)      # host sync per segment
+        if base % 500 == 0:
+            print(f"[train] step {base + SEG}/{steps} "
+                  f"heatmap MSE {last_loss:.5f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
     dt = time.perf_counter() - t0
     print(f"[train] {steps} steps in {dt:.1f}s "
           f"({steps / dt:.1f} steps/s), final heatmap MSE {last_loss:.5f}",
@@ -285,9 +375,62 @@ def evaluate_detector(trained_vars, gen, n_eval, seed=1000):
     return rows
 
 
+def evaluate_multi_detector(trained_vars, gen2, n_scenes, seed=5000):
+    """2-person composites -> greedy IoU matching of predicted boxes to the
+    two GT boxes. Returns rows (sep_px, iou_a, iou_b, n_pred)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        make_multi_person_bootstrap_detector)
+
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = make_reduced_hrnet()
+
+    def hrnet_apply(variables, images):
+        return model.apply(variables, images, train=False)
+
+    detect = make_multi_person_bootstrap_detector(
+        hrnet_apply, hrnet_cfg, hrnet_vars=trained_vars,
+        conf_threshold=0.3, min_visible=6, n_iters=2, max_people=4)
+
+    rows = []
+    n_batches = -(-n_scenes // BATCH)
+    for b in range(n_batches):
+        scenes, box_a, box_b = gen2(jax.random.PRNGKey(seed + b))
+        scenes = np.asarray(scenes)
+        box_a, box_b = np.asarray(box_a), np.asarray(box_b)
+        for i in range(scenes.shape[0]):
+            if len(rows) >= n_scenes:
+                break
+            gts = [box_a[i], box_b[i]]
+            if any(g[3] - g[1] < 40 for g in gts):   # a subject clipped away
+                continue
+            out = detect(jnp.asarray(scenes[i].astype(np.float32) / 255.0))
+            preds = [tuple(bx) for bx in out["boxes"]]
+            # Greedy best-IoU matching, each pred used at most once.
+            ious = []
+            for g in gts:
+                best_j, best = -1, 0.0
+                for j, p in enumerate(preds):
+                    v = iou_xyxy(p, g)
+                    if v > best:
+                        best_j, best = j, v
+                if best_j >= 0:
+                    preds.pop(best_j)
+                ious.append(best)
+            sep = abs((box_a[i, 0] + box_a[i, 2]) / 2
+                      - (box_b[i, 0] + box_b[i, 2]) / 2)
+            rows.append((sep, ious[0], ious[1], out["boxes"].shape[0]))
+    return rows
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    n_multi = int(sys.argv[3]) if len(sys.argv) > 3 else 48
 
     import jax
     from benchmarks import _scratch_cache
@@ -348,6 +491,37 @@ def main():
     lines.append("")
     lines.append(f"[{verdict}] overall median IoU {med:.3f} "
                  "(round-4 target: >= 0.7 single-person regime)")
+
+    if n_multi > 0:
+        print(f"[multi] evaluating {n_multi} 2-person composites...",
+              flush=True)
+        gen2 = build_multi_scene_generator()
+        mrows = evaluate_multi_detector(trained, gen2, n_multi)
+        seps = np.array([r[0] for r in mrows])
+        iou_ab = np.array([[r[1], r[2]] for r in mrows])
+        npred = np.array([r[3] for r in mrows])
+        both = (iou_ab >= 0.5).all(axis=1)
+        mbuckets = [("separated (>=130 px)", seps >= 130),
+                    ("close     (<130 px)", seps < 130)]
+        lines += [
+            "",
+            f"multi-person: {len(mrows)} 2-person composites, greedy "
+            "best-IoU matching pred->GT",
+            f"{'bucket':<22} {'n':>4} {'med IoU':>8} {'both>=0.5':>10} "
+            f"{'mean #pred':>11}",
+        ]
+        for name, m in ([("ALL", np.ones_like(both, bool))] + mbuckets):
+            if not m.any():
+                continue
+            lines.append(
+                f"{name:<22} {int(m.sum()):>4} "
+                f"{np.median(iou_ab[m]):>8.3f} {both[m].mean():>10.2f} "
+                f"{npred[m].mean():>11.2f}")
+        mmed = float(np.median(iou_ab))
+        mver = "PASS" if mmed >= 0.5 else "BELOW-TARGET"
+        lines.append(f"[{mver}] multi-person median IoU {mmed:.3f} "
+                     "(round-4 next #7: N-box output with measured "
+                     "synthetic IoU)")
     report = "\n".join(lines)
     print(report, flush=True)
     out_path = os.path.join(_REPO, "benchmarks",

@@ -80,7 +80,7 @@ def run_predict(args):
     # (predict/keypoint_detector.py), 'none' keeps whole-image boxes.
     object_detect_fn = None
     want_detector = not args.cropped_images and args.detector != "none"
-    use_keypoint = args.detector == "keypoint"
+    use_keypoint = args.detector in ("keypoint", "keypoint-multi")
     if want_detector and args.detector in ("auto", "maskrcnn"):
         try:
             import torch
@@ -124,9 +124,17 @@ def run_predict(args):
         # Torch-free person localisation: bootstrap the bbox from the 2D
         # keypoint model the pipeline already carries (no extra weights).
         from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
-            make_keypoint_bootstrap_detector)
-        object_detect_fn = make_keypoint_bootstrap_detector(
-            hrnet_apply, hrnet_cfg, hrnet_vars=hrnet_vars)
+            make_keypoint_bootstrap_detector,
+            make_multi_person_bootstrap_detector)
+        if args.detector == "keypoint-multi":
+            # N-person boxes (crowded frames); the driver still selects the
+            # centre-most, matching the reference's Mask-RCNN behaviour
+            # (reference predict/predict_hrnet.py:52-66).
+            object_detect_fn = make_multi_person_bootstrap_detector(
+                hrnet_apply, hrnet_cfg, hrnet_vars=hrnet_vars)
+        else:
+            object_detect_fn = make_keypoint_bootstrap_detector(
+                hrnet_apply, hrnet_cfg, hrnet_vars=hrnet_vars)
 
     # Canny
     edge_detect_model = CannyEdgeDetector(
@@ -263,12 +271,14 @@ def build_parser():
     parser.add_argument("--cropped_images", "-C", action="store_true",
                         help="Images are already cropped and centred.")
     parser.add_argument("--detector", type=str, default="auto",
-                        choices=["auto", "maskrcnn", "keypoint", "none"],
+                        choices=["auto", "maskrcnn", "keypoint",
+                                 "keypoint-multi", "none"],
                         help="Person detector for uncropped inputs: "
                              "torchvision Mask-RCNN, the torch-free HRNet "
-                             "keypoint bootstrap, or none (whole-image "
-                             "boxes). 'auto' tries Mask-RCNN then falls "
-                             "back to the keypoint bootstrap.")
+                             "keypoint bootstrap (single- or multi-person "
+                             "variant), or none (whole-image boxes). 'auto' "
+                             "tries Mask-RCNN then falls back to the "
+                             "keypoint bootstrap.")
     parser.add_argument("--visualise_samples", "-VS", action="store_true")
     parser.add_argument("--visualise_uncropped", "-VU", action="store_true")
     parser.add_argument("--joints2Dvisib_threshold", "-T", type=float, default=0.75)

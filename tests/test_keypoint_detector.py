@@ -154,3 +154,118 @@ def test_degenerate_keypoint_cloud_gets_min_extent_box():
     bx0, by0, bx1, by1 = out["boxes"][0]
     assert (bx1 - bx0) >= 7.9 and (by1 - by0) >= 7.9, out["boxes"]
     assert np.isfinite(out["boxes"]).all()
+
+
+def _two_person_stub(spread=4):
+    """Two 'people' encoded in DIFFERENT colour channels: person A is a red
+    gaussian blob, person B a blue one. Per joint channel the stub emits a
+    peak at the centroid of each colour channel's brightness — but only if
+    that channel actually has contrast in the crop (an isolated crop of one
+    person gives the other colour zero amplitude -> conf 0). So the
+    whole-frame pass sees TWO local maxima per joint and a refined
+    single-person crop sees one: exactly the multi-peak + refinement
+    contract the multi-person detector relies on.
+
+    Unlike the fixed-heatmap-spread _centroid_stub, the joint cloud here
+    scales with the blob's APPARENT size in the crop (weighted std of its
+    brightness) — like a real person, whose joints have fixed
+    original-image extent however far the detector zooms in. A fixed
+    heatmap-space cloud would collapse to the minimum-extent clamp under
+    the multi path's seed-crop + refinement zooms."""
+
+    def stub(x):  # (B, 3, 384, 288) ImageNet-normalised
+        B, _, H, W = x.shape
+        hm = jnp.zeros((B, 17, HM_H, HM_W))
+        for ch in (0, 2):
+            lum = x[:, ch]
+            lum = lum - lum.min(axis=(1, 2), keepdims=True)
+            amp = lum.max(axis=(1, 2))                      # (B,)
+            conf = jnp.where(amp > 0.2, 0.9, 0.0)
+            total = lum.sum(axis=(1, 2)) + 1e-6
+            ys = (lum * jnp.arange(H)[None, :, None]).sum(axis=(1, 2)) / total
+            xs = (lum * jnp.arange(W)[None, None, :]).sum(axis=(1, 2)) / total
+            var_y = (lum * (jnp.arange(H)[None, :, None] - ys[:, None, None])
+                     ** 2).sum(axis=(1, 2)) / total
+            var_x = (lum * (jnp.arange(W)[None, None, :] - xs[:, None, None])
+                     ** 2).sum(axis=(1, 2)) / total
+            sd_y = jnp.sqrt(var_y) + 1.0                    # crop px
+            sd_x = jnp.sqrt(var_x) + 1.0
+            for j in range(17):
+                dy = (j // 3 - 2.5) / 2.5 * sd_y            # +- 1 std cloud
+                dx = (j % 3 - 1) * sd_x
+                py = jnp.clip(((ys + dy) / 4.0).astype(jnp.int32),
+                              0, HM_H - 1)
+                px = jnp.clip(((xs + dx) / 4.0).astype(jnp.int32),
+                              0, HM_W - 1)
+                hm = hm.at[jnp.arange(B), j, py, px].max(conf)
+        return hm
+
+    return stub
+
+
+def _blob(H, W, sy, sx, sig_y=60.0, sig_x=35.0):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    return np.exp(-(((yy - sy) / sig_y) ** 2 + ((xx - sx) / sig_x) ** 2))
+
+
+def test_multi_person_finds_both_people():
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        make_multi_person_bootstrap_detector)
+    H, W = 512, 384
+    ay, ax = 200.0, 100.0          # person A (red channel)
+    by, bx = 300.0, 280.0          # person B (blue channel)
+    img = np.zeros((3, H, W), np.float32)
+    img[0] = _blob(H, W, ay, ax)
+    img[2] = _blob(H, W, by, bx)
+
+    detect = make_multi_person_bootstrap_detector(
+        _two_person_stub(), HRNET_CFG, n_iters=2, conf_threshold=0.3,
+        min_visible=6, max_people=4)
+    out = detect(jnp.asarray(img))
+    assert out["boxes"].shape == (2, 4), out["boxes"]
+    assert (out["labels"] == 1).all() and (out["scores"] == 1.0).all()
+    centres = np.stack([(out["boxes"][:, 0] + out["boxes"][:, 2]) / 2,
+                        (out["boxes"][:, 1] + out["boxes"][:, 3]) / 2], axis=1)
+    # one box per person, each centred on its blob
+    d_a = np.hypot(centres[:, 0] - ax, centres[:, 1] - ay)
+    d_b = np.hypot(centres[:, 0] - bx, centres[:, 1] - by)
+    assert d_a.min() < 35, (centres, out["boxes"])
+    assert d_b.min() < 35, (centres, out["boxes"])
+    assert np.argmin(d_a) != np.argmin(d_b)
+    # real localisations, inside the frame
+    bxs = out["boxes"]
+    assert (bxs[:, 2] - bxs[:, 0] > 10).all()
+    assert (bxs[:, 3] - bxs[:, 1] > 10).all()
+    assert (bxs[:, 2] - bxs[:, 0] < 0.8 * W).all()
+
+
+def test_multi_person_single_subject_yields_one_box():
+    """One person must NOT be split into several detections: duplicate seed
+    clusters converge onto the same subject and NMS merges them."""
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        make_multi_person_bootstrap_detector)
+    H, W = 512, 384
+    sy, sx = 240.0, 120.0
+    img = np.zeros((3, H, W), np.float32)
+    img[0] = _blob(H, W, sy, sx, 80.0, 40.0)
+
+    detect = make_multi_person_bootstrap_detector(
+        _two_person_stub(), HRNET_CFG, n_iters=2, conf_threshold=0.3,
+        min_visible=6, max_people=4)
+    out = detect(jnp.asarray(img))
+    assert out["boxes"].shape == (1, 4), out["boxes"]
+    cx = (out["boxes"][0, 0] + out["boxes"][0, 2]) / 2
+    cy = (out["boxes"][0, 1] + out["boxes"][0, 3]) / 2
+    assert abs(cx - sx) < 30 and abs(cy - sy) < 40
+
+
+def test_multi_person_empty_image_yields_no_detection():
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        make_multi_person_bootstrap_detector)
+
+    def dead_stub(x):
+        return jnp.zeros((x.shape[0], 17, HM_H, HM_W))
+
+    detect = make_multi_person_bootstrap_detector(dead_stub, HRNET_CFG)
+    out = detect(jnp.zeros((3, 256, 256)))
+    assert out["boxes"].shape == (0, 4)

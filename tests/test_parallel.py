@@ -158,6 +158,7 @@ def test_sharded_eval_step_matches_single_device():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_sample_parallel_uncertainty_sampling():
     """Predict-path uncertainty sampling (B=1, N samples) shards its SMPL
     evaluations over an all-'sample' mesh and matches the unsharded result."""

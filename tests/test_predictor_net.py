@@ -29,6 +29,7 @@ def test_parents_dict():
             assert anc[0] == SMPL_PARENTS[j + 1] - 1
 
 
+@pytest.mark.slow
 def test_forward_shapes():
     # Eager apply: compiling the full ResNet+head program costs ~90 s on this
     # 1-core host — the jit path is pinned by test_forward_jit (slow tier) and
@@ -141,6 +142,7 @@ def test_gradients_flow_through_hierarchy():
     assert np.abs(g22).max() > 0
 
 
+@pytest.mark.slow
 def test_bf16_encoder_mode_same_params_close_outputs():
     """Mixed-precision encoder (--bf16_encoder): the parameter/batch-stats
     trees are IDENTICAL to the f32 model (params stay f32 -> checkpoints and

@@ -102,6 +102,7 @@ def test_dp_preprocessing():
     assert col.shape == row.shape
 
 
+@pytest.mark.slow
 def test_renderer_iuv_and_silhouette():
     smpl = SMPL.synthetic()
     out_smpl = smpl(batch_size=1)

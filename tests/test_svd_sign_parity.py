@@ -119,6 +119,7 @@ def test_converted_checkpoint_full_depth_parity_lapack_callback(converted_pair):
     np.testing.assert_allclose(F_ours[:, 0], ref["F"][:, 0], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_converted_checkpoint_full_depth_parity_native_gesdd(converted_pair):
     """svd_impl='lapack' (the DEVICE-NATIVE gesdd emulation, ops/lapack_svd3)
     reproduces the torch reference through all 23 joints at the same rate as
