@@ -39,6 +39,23 @@ FRAME = 512
 TRAIN_SCENES = 256
 BATCH = 16
 
+# Fixed 8-texture bank (seeded once, shared by train and eval scenes):
+# low-frequency colour fields + fine noise, so body parts have a STABLE
+# appearance across scenes via the UV atlas — see the note in gen().
+_TEXTURE_BANK_NP = None
+
+
+def _texture_bank():
+    global _TEXTURE_BANK_NP
+    if _TEXTURE_BANK_NP is None:
+        rng = np.random.RandomState(7)
+        coarse = rng.rand(8, 8, 8, 3)
+        coarse = np.repeat(np.repeat(coarse, 16, axis=1), 16, axis=2)
+        fine = rng.rand(8, 128, 128, 3)
+        _TEXTURE_BANK_NP = np.clip(
+            0.75 * coarse + 0.25 * fine, 0.0, 1.0).astype(np.float32)
+    return _TEXTURE_BANK_NP
+
 
 def build_scene_generator():
     import jax
@@ -67,6 +84,7 @@ def build_scene_generator():
     coco_map = jnp.asarray(ALL_JOINTS_TO_COCO_MAP)
     x_axis = jnp.asarray([1.0, 0.0, 0.0])
     zero_t = jnp.zeros(3)
+    TEXTURE_BANK = jnp.asarray(_texture_bank())
 
     @jax.jit
     def gen(key):
@@ -101,8 +119,15 @@ def build_scene_generator():
         joints2d = perspective_project(joints_coco, None, cam_t,
                                        focal_length=focal, img_wh=FRAME)
 
-        # Random noise texture + blocky background clutter.
-        texture = jax.random.uniform(keys[5], (B, 128, 128, 3))
+        # Textures from a FIXED bank (module-level, seeded once): per-scene
+        # iid noise gave body parts no stable appearance across scenes, so
+        # the smoke-trained net could only use silhouette shape and its
+        # heatmap peaks stayed too diffuse to clear any confidence
+        # threshold (first recorded run: det rate 0.00). Real keypoint
+        # models learn stable appearance statistics (skin, clothing); a
+        # reused texture bank is the synthetic analog.
+        texture = TEXTURE_BANK[
+            jax.random.randint(keys[5], (B,), 0, TEXTURE_BANK.shape[0])]
         bg_small = jax.random.uniform(keys[6], (B, 3, 16, 16))
         bg = jnp.broadcast_to(
             bg_small[:, :, :, None, :, None],
@@ -154,6 +179,7 @@ def build_multi_scene_generator():
     x_axis = jnp.asarray([1.0, 0.0, 0.0])
     zero_t = jnp.zeros(3)
     Rx = batch_rodrigues((x_axis * np.pi)[None])[0]
+    TEXTURE_BANK = jnp.asarray(_texture_bank())
 
     def render_person(keys, side):
         B = BATCH
@@ -172,7 +198,8 @@ def build_multi_scene_generator():
                    betas=betas, pose2rot=False)
         verts = aa_rotate_translate_points(out["vertices"], x_axis,
                                            np.pi, zero_t)
-        texture = jax.random.uniform(keys[5], (B, 128, 128, 3))
+        texture = TEXTURE_BANK[
+            jax.random.randint(keys[5], (B,), 0, TEXTURE_BANK.shape[0])]
         render = renderer(verts, textures=texture, cam_t=cam_t)
         seg = render["iuv_images"][..., 0]               # (B, F, F) >0 body
         rgb = jnp.transpose(render["rgb_images"], (0, 3, 1, 2))
@@ -284,7 +311,23 @@ def train_reduced_hrnet(scenes, joints2d, boxes, steps, seed=0):
         pred, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             mutable=["batch_stats"])
-        return jnp.mean((pred - targets) ** 2), updates["batch_stats"]
+        # POSITIVE-WEIGHTED MSE: a gaussian peak (std 2) covers ~0.2% of the
+        # 72x96 heatmap, so plain MSE's optimum within reach of a few
+        # thousand smoke-train steps is the all-zeros map (its loss is
+        # sum(target^2)/N = pi*std^2*17/(17*6912) ~ 0.0018 — EXACTLY where
+        # the first recorded run plateaued, with peak amplitudes ~0.09 that
+        # no threshold survives). Weighting the peak region 40x makes the
+        # peak/background gradient ratio ~12:1 instead of ~1:3.4; full
+        # HRNet training (170k steps) escapes the collapse by sheer step
+        # count, a 3-6k-step smoke train needs the reweighting.
+        w = 1.0 + 40.0 * targets
+        loss = jnp.mean(w * (pred - targets) ** 2)
+        # Diagnostic: mean over (image, visible joint) of the predicted
+        # heatmap max — collapse shows up as ~0.0x, healthy peaks ~0.5+.
+        vis = targets.max(axis=(-2, -1)) > 0.5
+        peak = ((pred.max(axis=(-2, -1)) * vis).sum()
+                / jnp.maximum(vis.sum(), 1))
+        return loss, (updates["batch_stats"], peak)
 
     # Chunked device program: ONE tunnel-attached TPU execution must stay
     # short (a single 3000-step fori_loop program ran for minutes with no
@@ -296,33 +339,93 @@ def train_reduced_hrnet(scenes, joints2d, boxes, steps, seed=0):
     @jax.jit
     def run_segment(params, batch_stats, opt_state, key, base):
         def body(i, carry):
-            params, batch_stats, opt_state, loss0 = carry
+            params, batch_stats, opt_state, loss0, peak0 = carry
             k = jax.random.fold_in(key, base + i)
-            (loss, new_stats), grads = jax.value_and_grad(
+            (loss, (new_stats, peak)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch_stats, k)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_stats, opt_state, loss
+            return params, new_stats, opt_state, loss, peak
         return jax.lax.fori_loop(0, SEG, body,
                                  (params, batch_stats, opt_state,
-                                  jnp.float32(0)))
+                                  jnp.float32(0), jnp.float32(0)))
 
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(seed + 1)
-    last_loss = float("nan")
+    last_loss, last_peak = float("nan"), float("nan")
     for base in range(0, steps, SEG):
-        params, batch_stats, opt_state, last_loss = run_segment(
+        params, batch_stats, opt_state, last_loss, last_peak = run_segment(
             params, batch_stats, opt_state, key, jnp.int32(base))
         last_loss = float(last_loss)      # host sync per segment
+        last_peak = float(last_peak)
         if base % 500 == 0:
             print(f"[train] step {base + SEG}/{steps} "
-                  f"heatmap MSE {last_loss:.5f} "
+                  f"weighted MSE {last_loss:.5f} peak {last_peak:.3f} "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
     dt = time.perf_counter() - t0
     print(f"[train] {steps} steps in {dt:.1f}s "
-          f"({steps / dt:.1f} steps/s), final heatmap MSE {last_loss:.5f}",
-          flush=True)
+          f"({steps / dt:.1f} steps/s), final weighted MSE {last_loss:.5f} "
+          f"peak {last_peak:.3f}", flush=True)
     return {"params": params, "batch_stats": batch_stats}, last_loss
+
+
+WEIGHTS_PATH = os.path.join(_REPO, "benchmarks", "_detval_weights.npz")
+
+
+def save_trained(trained):
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict(trained)
+    np.savez(WEIGHTS_PATH,
+             **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+    print(f"[weights] saved {WEIGHTS_PATH}", flush=True)
+
+
+def load_trained():
+    from flax.traverse_util import unflatten_dict
+    with np.load(WEIGHTS_PATH) as z:
+        flat = {tuple(k.split("/")): z[k] for k in z.files}
+    return unflatten_dict(flat)
+
+
+def whole_frame_conf_stats(trained_vars, gen, n_images, seed=1000):
+    """Diagnostic: the min_visible-th order statistic of whole-frame peak
+    confidences — the confidence threshold at which detection would first
+    succeed on each image."""
+    import jax
+    import jax.numpy as jnp
+
+    from hierarchicalprobabilistic3dhuman_tpu.configs import (
+        get_pose2d_hrnet_cfg_defaults)
+    from hierarchicalprobabilistic3dhuman_tpu.predict.keypoint_detector import (
+        _build_stage)
+
+    hrnet_cfg = get_pose2d_hrnet_cfg_defaults()
+    model = make_reduced_hrnet()
+
+    def hrnet_apply(variables, images):
+        return model.apply(variables, images, train=False)
+
+    stage, _, _, _, _ = _build_stage(hrnet_apply, hrnet_cfg, trained_vars)
+    centre = jnp.asarray([FRAME / 2.0, FRAME / 2.0], jnp.float32)
+    hw = jnp.asarray(float(FRAME), jnp.float32)
+    sixth, top = [], []
+    n_batches = -(-n_images // BATCH)
+    done = 0
+    for b in range(n_batches):
+        scenes, _, _ = gen(jax.random.PRNGKey(seed + b))
+        scenes = np.asarray(scenes)
+        for i in range(scenes.shape[0]):
+            if done >= n_images:
+                break
+            _, confs = stage(trained_vars,
+                             jnp.asarray(scenes[i].astype(np.float32) / 255.0),
+                             centre, hw, hw)
+            c = np.sort(np.asarray(confs))[::-1]
+            top.append(float(c[0]))
+            sixth.append(float(c[5]))
+            done += 1
+    return (float(np.median(top)), float(np.median(sixth)),
+            float(np.percentile(sixth, 10)))
 
 
 def iou_xyxy(a, b):
@@ -428,9 +531,11 @@ def evaluate_multi_detector(trained_vars, gen2, n_scenes, seed=5000):
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 96
-    n_multi = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    argv = [a for a in sys.argv[1:] if a != "--eval-only"]
+    eval_only = "--eval-only" in sys.argv[1:]
+    steps = int(argv[0]) if len(argv) > 0 else 3000
+    n_eval = int(argv[1]) if len(argv) > 1 else 96
+    n_multi = int(argv[2]) if len(argv) > 2 else 48
 
     import jax
     from benchmarks import _scratch_cache
@@ -440,24 +545,44 @@ def main():
           flush=True)
     gen = build_scene_generator()
 
-    print(f"[scenes] generating {TRAIN_SCENES} training scenes at "
-          f"{FRAME}^2...", flush=True)
-    t0 = time.perf_counter()
-    sc, j2, bx = [], [], []
-    for b in range(TRAIN_SCENES // BATCH):
-        s, j, x = gen(jax.random.PRNGKey(b))
-        sc.append(np.asarray(s))
-        j2.append(np.asarray(j))
-        bx.append(np.asarray(x))
-    scenes = np.concatenate(sc)
-    joints2d = np.concatenate(j2)
-    boxes = np.concatenate(bx)
-    print(f"[scenes] {scenes.shape[0]} scenes in "
-          f"{time.perf_counter() - t0:.1f}s; subject height "
-          f"{np.median((boxes[:, 3] - boxes[:, 1]) / FRAME):.2f} median "
-          "frame-fraction", flush=True)
+    if eval_only and os.path.exists(WEIGHTS_PATH):
+        print(f"[weights] loading {WEIGHTS_PATH} (--eval-only)", flush=True)
+        trained = load_trained()
+        final_loss = float("nan")
+    else:
+        scene_cache = os.path.join("/tmp", "detval_scenes.npz")
+        if os.path.exists(scene_cache):
+            print(f"[scenes] loading cached {scene_cache}", flush=True)
+            with np.load(scene_cache) as z:
+                scenes, joints2d, boxes = z["s"], z["j"], z["b"]
+        else:
+            print(f"[scenes] generating {TRAIN_SCENES} training scenes at "
+                  f"{FRAME}^2...", flush=True)
+            t0 = time.perf_counter()
+            sc, j2, bx = [], [], []
+            for b in range(TRAIN_SCENES // BATCH):
+                s, j, x = gen(jax.random.PRNGKey(b))
+                sc.append(np.asarray(s))
+                j2.append(np.asarray(j))
+                bx.append(np.asarray(x))
+            scenes = np.concatenate(sc)
+            joints2d = np.concatenate(j2)
+            boxes = np.concatenate(bx)
+            print(f"[scenes] {scenes.shape[0]} scenes in "
+                  f"{time.perf_counter() - t0:.1f}s; subject height "
+                  f"{np.median((boxes[:, 3] - boxes[:, 1]) / FRAME):.2f} "
+                  "median frame-fraction", flush=True)
+            np.savez(scene_cache, s=scenes, j=joints2d, b=boxes)
 
-    trained, final_loss = train_reduced_hrnet(scenes, joints2d, boxes, steps)
+        trained, final_loss = train_reduced_hrnet(scenes, joints2d, boxes,
+                                                  steps)
+        save_trained(trained)
+
+    top_med, sixth_med, sixth_p10 = whole_frame_conf_stats(
+        trained, gen, min(n_eval, 32))
+    print(f"[confs] whole-frame peak confidence: median max {top_med:.3f}, "
+          f"median 6th-highest {sixth_med:.3f} (p10 {sixth_p10:.3f})",
+          flush=True)
 
     rows = evaluate_detector(trained, gen, n_eval)
     scales = np.array([r[0] for r in rows])
@@ -472,7 +597,11 @@ def main():
         f"recorded {time.strftime('%Y-%m-%d')}",
         f"backend: {jax.default_backend()} ({jax.devices()[0]})",
         f"reduced HRNet width=16 modules=(1,2,1), {steps} smoke-train "
-        f"steps, final heatmap MSE {final_loss:.5f}",
+        f"steps, final weighted heatmap MSE {final_loss:.5f}",
+        f"whole-frame peak confidence: median max {top_med:.3f}, median "
+        f"6th-highest {sixth_med:.3f} (p10 {sixth_p10:.3f}); detector runs "
+        "its shipped amplitude-adaptive threshold "
+        "(keypoint_detector._effective_threshold)",
         f"eval: {len(rows)} held-out synthetic 512^2 scenes, GT = rendered "
         "silhouette-mask box",
         "",

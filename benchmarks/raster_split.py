@@ -12,7 +12,9 @@ real - empty = the pair-proportional cost; empty = the per-tile floor the
 grid pays regardless of culling. This decides whether the next lever is
 fewer VPU ops per pair or fewer/fatter grid steps.
 
-Usage: python benchmarks/raster_split.py [B]
+Usage: python benchmarks/raster_split.py [B] [TILE_GROUP]
+(2nd arg overrides rasterizer_pallas.TILE_GROUP — tiles per grid step — to
+measure how much further the per-step fixed cost amortises.)
 """
 
 import os
@@ -24,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(B=72):
+def main(B=72, tile_group=None):
     import jax
     from benchmarks import _scratch_cache
     _scratch_cache.enable()
@@ -32,6 +34,9 @@ def main(B=72):
 
     from benchmarks._scene import build_scene
     from hierarchicalprobabilistic3dhuman_tpu.ops import rasterizer_pallas as rp
+    if tile_group:
+        rp.TILE_GROUP = tile_group
+        print(f"TILE_GROUP override: {tile_group}")
 
     renderer, verts, cam_t, verts_dp, screen = build_scene(B)
     D = renderer.img_wh
@@ -91,4 +96,5 @@ def main(B=72):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 72)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 72,
+         int(sys.argv[2]) if len(sys.argv) > 2 else None)
