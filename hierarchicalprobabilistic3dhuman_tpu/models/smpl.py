@@ -237,10 +237,32 @@ def synthetic_smpl_params(num_betas=10, seed=0, dtype=jnp.float32):
     shapedirs = (rng.randn(NUM_VERTS, 3, num_betas) * 0.01).astype(np.float32)
     posedirs_native = (rng.randn(NUM_VERTS, 3, 207) * 0.001).astype(np.float32)
 
-    # Joints spread along the vertical axis, roots near origin.
-    joint_centres = np.zeros((NUM_JOINTS, 3), dtype=np.float32)
-    joint_centres[:, 1] = np.linspace(-0.8, 0.8, NUM_JOINTS)
-    joint_centres[:, 0] = 0.1 * rng.randn(NUM_JOINTS)
+    # Kinematic joints placed ANATOMICALLY on the DensePose-derived template
+    # (same part-placement table as _synthetic_template_from_densepose: torso
+    # y in [-0.15, 0.45], T-pose arms out to x ~ +-0.67, right side at +x per
+    # the DensePose part convention). Earlier revisions spread the joints
+    # along a vertical stick, which made limb skinning shear around the spine
+    # and put the COCO arm keypoints (kinematic joints 16-21) at the torso —
+    # a keypoint bbox could then never span the rendered silhouette
+    # (benchmarks/detector_validation.py was the harness that caught it).
+    joint_centres = np.array([
+        [0.00, -0.12, 0.0],                    # 0  pelvis
+        [-0.10, -0.17, 0.0], [0.10, -0.17, 0.0],   # 1 L / 2 R hip
+        [0.00, 0.02, 0.0],                     # 3  spine1
+        [-0.10, -0.52, 0.0], [0.10, -0.52, 0.0],   # 4 L / 5 R knee
+        [0.00, 0.14, 0.0],                     # 6  spine2
+        [-0.12, -0.84, 0.0], [0.12, -0.84, 0.0],   # 7 L / 8 R ankle
+        [0.00, 0.26, 0.0],                     # 9  spine3
+        [-0.12, -0.93, 0.0], [0.12, -0.93, 0.0],   # 10 L / 11 R foot
+        [0.00, 0.40, 0.0],                     # 12 neck
+        [-0.07, 0.36, 0.0], [0.07, 0.36, 0.0],     # 13 L / 14 R collar
+        [0.00, 0.51, 0.0],                     # 15 head
+        [-0.24, 0.31, 0.0], [0.24, 0.31, 0.0],     # 16 L / 17 R shoulder
+        [-0.42, 0.30, 0.0], [0.42, 0.30, 0.0],     # 18 L / 19 R elbow
+        [-0.58, 0.29, 0.0], [0.58, 0.29, 0.0],     # 20 L / 21 R wrist
+        [-0.64, 0.28, 0.0], [0.64, 0.28, 0.0],     # 22 L / 23 R hand
+    ], dtype=np.float32)
+    joint_centres += (0.01 * rng.randn(NUM_JOINTS, 3)).astype(np.float32)
 
     # J_regressor: soft-assign each joint to its nearest vertices.
     d2 = ((v_template[None, :, :] - joint_centres[:, None, :]) ** 2).sum(-1)  # (24, V)

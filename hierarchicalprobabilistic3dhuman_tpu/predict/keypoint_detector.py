@@ -35,8 +35,11 @@ IoU-vs-Mask-RCNN comparison cannot be run here): the geometry loop is
 pinned by tests with a content-aware HRNet stub
 (tests/test_keypoint_detector.py), and benchmarks/detector_validation.py
 smoke-trains a reduced HRNet on the framework's own synthetic renders and
-records box IoU against rendered GT for BOTH detectors
-(benchmarks/DETECTOR_VALIDATION_OUTPUT.txt).
+measures box IoU against rendered silhouette-mask GT for BOTH detectors.
+Recorded result (benchmarks/DETECTOR_VALIDATION_OUTPUT.txt, TPU): single
+person median IoU 0.838 (96% of scenes >= 0.7, detection rate 1.00 across
+subject scales 0.28-0.83 of the frame); 2-person composites median IoU
+0.712 with both people localised at IoU >= 0.5 in 75% of scenes.
 """
 
 import numpy as np
@@ -146,14 +149,32 @@ def _box_from_kps(kp, vis, H, W, margins):
     return x0, y0, x1, y1
 
 
+def _effective_threshold(confs, conf_threshold, conf_floor, rel_conf_frac):
+    """Amplitude-adaptive visibility threshold:
+    clip(rel_conf_frac * max_conf, conf_floor, conf_threshold).
+
+    Heatmap peak AMPLITUDE is a property of the model/training, not of the
+    scene (a fully-trained HRNet-W48 peaks ~0.9; a lightly-trained or
+    distilled one can peak ~0.3 with the same localisation quality), so a
+    fixed absolute cut rejects every detection from a weak-amplitude
+    model. Relative-to-max peak picking is the standard remedy; the clip
+    keeps `conf_threshold` as the strong-model behaviour (identical to the
+    previous fixed threshold when peaks are high) and `conf_floor` as the
+    noise floor below which nothing counts.
+    """
+    return float(np.clip(rel_conf_frac * float(confs.max()),
+                         conf_floor, conf_threshold))
+
+
 def _refine(stage, hrnet_vars, image, H, W, centre, height, width,
-            n_iters, conf_threshold, min_visible, margins):
+            n_iters, conf_threshold, min_visible, margins,
+            conf_floor, rel_conf_frac):
     """Iterated crop->HRNet->confident-kp-box loop from a starting crop.
 
-    Returns the last (x0, y0, x1, y1, confs) that passed min_visible, or
-    None if no pass did. A later refinement pass losing the subject (e.g.
-    the tightened crop clipping limbs) must not discard a valid earlier
-    detection — hence last-accepted, not last-computed.
+    Returns the last (x0, y0, x1, y1, confs, eff_thr) that passed
+    min_visible, or None if no pass did. A later refinement pass losing the
+    subject (e.g. the tightened crop clipping limbs) must not discard a
+    valid earlier detection — hence last-accepted, not last-computed.
     """
     accepted = None
     for _ in range(max(1, int(n_iters))):
@@ -163,11 +184,13 @@ def _refine(stage, hrnet_vars, image, H, W, centre, height, width,
                           jnp.asarray(width, jnp.float32))
         kp = np.asarray(kp)
         confs = np.asarray(confs)
-        vis = confs > conf_threshold
+        eff = _effective_threshold(confs, conf_threshold, conf_floor,
+                                   rel_conf_frac)
+        vis = confs > eff
         if vis.sum() < min_visible:
             break
         x0, y0, x1, y1 = _box_from_kps(kp, vis, H, W, margins)
-        accepted = (x0, y0, x1, y1, confs)
+        accepted = (x0, y0, x1, y1, confs, eff)
         centre = np.array([(y0 + y1) / 2.0, (x0 + x1) / 2.0], np.float32)
         height, width = y1 - y0, x1 - x0
     return accepted
@@ -184,15 +207,23 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
                                      conf_threshold=0.3,
                                      min_visible=6,
                                      n_iters=2,
-                                     margins=(0.25, 0.10, 0.125)):
+                                     margins=(0.25, 0.10, 0.125),
+                                     conf_floor=0.1,
+                                     rel_conf_frac=0.35):
     """Build an `object_detect_fn`-compatible person detector from HRNet.
 
     :param hrnet_apply: params-explicit `hrnet_apply(variables, images)`
         when hrnet_vars is given, else `hrnet_apply(images)`.
     :param conf_threshold: heatmap peak value below which a keypoint is
-        treated as invisible.
+        treated as invisible — for strong-amplitude models; the effective
+        per-image threshold is amplitude-adaptive, see
+        `_effective_threshold` (clip(rel_conf_frac * max_conf, conf_floor,
+        conf_threshold)).
     :param min_visible: fewer confident keypoints than this -> no detection
         (the caller falls back to the whole frame, reference behaviour).
+    :param conf_floor: noise floor — peaks below this never count.
+    :param rel_conf_frac: fraction of the image's strongest peak that other
+        peaks must reach.
     :param n_iters: localisation iterations (1 = whole-frame pass only).
     :param margins: (top, bottom, sides) expansion as fractions of the raw
         keypoint bbox height/width — COCO-17 stops at the nose and ankles,
@@ -211,10 +242,11 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
             centre=np.array([H / 2.0, W / 2.0], np.float32),
             height=float(H), width=float(W),
             n_iters=n_iters, conf_threshold=conf_threshold,
-            min_visible=min_visible, margins=margins)
+            min_visible=min_visible, margins=margins,
+            conf_floor=conf_floor, rel_conf_frac=rel_conf_frac)
         if accepted is None:
             return _empty_detections()
-        x0, y0, x1, y1, confs = accepted
+        x0, y0, x1, y1, confs, eff = accepted
 
         # Acceptance happens HERE (>= min_visible confident keypoints), not
         # via the downstream score threshold: keypoint-peak confidences are
@@ -222,7 +254,7 @@ def make_keypoint_bootstrap_detector(hrnet_apply, hrnet_config,
         # detection averages ~0.5-0.9, under typical 0.8-0.95 detector
         # thresholds), so an accepted box reports score 1.0 and the raw mean
         # keypoint confidence rides along for diagnostics.
-        raw = float(confs[confs > conf_threshold].mean())
+        raw = float(confs[confs > eff].mean())
         return {"boxes": np.array([[x0, y0, x1, y1]], np.float32),
                 "labels": np.array([1], np.int64),       # COCO person
                 "scores": np.array([1.0], np.float32),
@@ -292,7 +324,9 @@ def make_multi_person_bootstrap_detector(hrnet_apply, hrnet_config,
                                          cluster_radius_frac=0.18,
                                          min_seed_joints=3,
                                          seed_min_frac=0.15,
-                                         nms_iou=0.55):
+                                         nms_iou=0.55,
+                                         conf_floor=0.1,
+                                         rel_conf_frac=0.35):
     """N-person variant of the keypoint bootstrap (round-4 VERDICT next #7).
 
     Whole-frame pass extracts up to `max_people` LOCAL maxima per joint
@@ -327,8 +361,10 @@ def make_multi_person_bootstrap_detector(hrnet_apply, hrnet_config,
             jnp.asarray([H / 2.0, W / 2.0], jnp.float32),
             jnp.asarray(float(H), jnp.float32),
             jnp.asarray(float(W), jnp.float32))
-        clusters = _cluster_peaks(np.asarray(kp), np.asarray(confs),
-                                  conf_threshold,
+        confs_np = np.asarray(confs)
+        eff0 = _effective_threshold(confs_np, conf_threshold, conf_floor,
+                                    rel_conf_frac)
+        clusters = _cluster_peaks(np.asarray(kp), confs_np, eff0,
                                   radius=cluster_radius_frac * max(H, W))
         clusters = [c for c in clusters if len(c["chan"]) >= min_seed_joints]
 
@@ -349,12 +385,13 @@ def make_multi_person_bootstrap_detector(hrnet_apply, hrnet_config,
                 stage, hrnet_vars, image, H, W,
                 centre=centre, height=float(hh), width=float(ww),
                 n_iters=n_iters, conf_threshold=conf_threshold,
-                min_visible=min_visible, margins=margins)
+                min_visible=min_visible, margins=margins,
+                conf_floor=conf_floor, rel_conf_frac=rel_conf_frac)
             if accepted is None:
                 continue
-            bx0, by0, bx1, by1, rconfs = accepted
+            bx0, by0, bx1, by1, rconfs, reff = accepted
             boxes.append((bx0, by0, bx1, by1))
-            raws.append(float(rconfs[rconfs > conf_threshold].mean()))
+            raws.append(float(rconfs[rconfs > reff].mean()))
 
         # Greedy IoU NMS, strongest mean-keypoint-confidence first.
         order = np.argsort(-np.asarray(raws)) if raws else []
